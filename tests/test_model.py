@@ -1,0 +1,90 @@
+"""Decoder model: shapes, determinism, jit/scan, weight tying, backends."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpugnn.configs import ModelConfig
+from tpugnn.models import GNNDecoder
+from tpugnn.sampling import sample_batch
+from tpugnn.tanner import build_code
+
+
+def _setup(family="surface", d=3, **kw):
+    g = build_code(family, d)
+    cfg = ModelConfig(hidden=32, msg_hidden=32, rounds=3, **kw)
+    model = GNNDecoder(cfg, k=g.k)
+    b = sample_batch(jax.random.PRNGKey(0), g, 0.08, 4)
+    params = model.init(jax.random.PRNGKey(1), g, b.syndrome)
+    return g, model, params, b
+
+
+def test_output_shapes():
+    g, model, params, b = _setup()
+    out = model.apply(params, g, b.syndrome)
+    assert out.qubit_logits.shape == (4, g.n_qubits_pad, 2)
+    assert out.logical_logits.shape == (4, 2 * g.k)
+
+
+def test_readout_modes():
+    g, model, params, b = _setup(readout="per_qubit")
+    out = model.apply(params, g, b.syndrome)
+    assert out.logical_logits is None
+    g, model, params, b = _setup(readout="logical")
+    out = model.apply(params, g, b.syndrome)
+    assert out.logical_logits is not None
+
+
+def test_jit_and_determinism():
+    g, model, params, b = _setup()
+    f = jax.jit(model.apply)
+    o1 = f(params, g, b.syndrome)
+    o2 = f(params, g, b.syndrome)
+    np.testing.assert_array_equal(np.asarray(o1.qubit_logits), np.asarray(o2.qubit_logits))
+    o3 = model.apply(params, g, b.syndrome)
+    np.testing.assert_allclose(
+        np.asarray(o1.qubit_logits), np.asarray(o3.qubit_logits), atol=1e-5
+    )
+
+
+def test_weight_tied_param_count():
+    g, m_tied, p_tied, b = _setup(weight_tied=True)
+    g2, m_per, p_per, b2 = _setup(weight_tied=False)
+    n_tied = sum(x.size for x in jax.tree.leaves(p_tied))
+    n_per = sum(x.size for x in jax.tree.leaves(p_per))
+    assert n_per > n_tied  # per-round weights replicate the round cell
+
+
+def test_backend_equivalence_full_model():
+    g = build_code("surface", 3)
+    b = sample_batch(jax.random.PRNGKey(0), g, 0.08, 4)
+    cfg_s = ModelConfig(hidden=32, msg_hidden=32, rounds=3, backend="segment")
+    cfg_d = ModelConfig(hidden=32, msg_hidden=32, rounds=3, backend="dense")
+    model_s, model_d = GNNDecoder(cfg_s, k=g.k), GNNDecoder(cfg_d, k=g.k)
+    params = model_s.init(jax.random.PRNGKey(1), g, b.syndrome)
+    out_s = model_s.apply(params, g, b.syndrome)
+    out_d = model_d.apply(params, g, b.syndrome)
+    np.testing.assert_allclose(
+        np.asarray(out_s.qubit_logits), np.asarray(out_d.qubit_logits), atol=2e-4
+    )
+
+
+def test_syndrome_dependence():
+    """Different syndromes must produce different outputs (not constant)."""
+    g, model, params, b = _setup()
+    s0 = jnp.zeros_like(b.syndrome)
+    o0 = model.apply(params, g, s0)
+    o1 = model.apply(params, g, b.syndrome)
+    if bool(jnp.any(b.syndrome > 0)):
+        assert not np.allclose(
+            np.asarray(o0.qubit_logits), np.asarray(o1.qubit_logits), atol=1e-6
+        )
+
+
+@pytest.mark.parametrize("family,d", [("toric", 3), ("repetition", 5)])
+def test_other_families(family, d):
+    g, model, params, b = _setup(family=family, d=d)
+    out = model.apply(params, g, b.syndrome)
+    assert out.qubit_logits.shape[1] == g.n_qubits_pad
+    assert out.logical_logits.shape == (4, 2 * g.k)

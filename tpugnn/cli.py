@@ -1,0 +1,137 @@
+"""Command-line interface (the reference's argparse ``__main__``, C7).
+
+    python -m tpugnn.cli train --family surface -d 3 -p 0.05 --steps 2000
+    python -m tpugnn.cli eval  --family surface -d 5 -p 0.03 --shots 100000 \
+        --checkpoint-dir runs/d5
+    python -m tpugnn.cli sweep --family surface -d 3 -d 5 -p 0.01 -p 0.03
+
+Every flag maps onto a field of the frozen config dataclasses
+(tpugnn.configs); the CLI is a thin parser, all logic lives in the library.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from tpugnn.configs import CodeConfig, ExperimentConfig, ModelConfig, TrainConfig
+
+__all__ = ["main", "build_config"]
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--family", default="surface", choices=["surface", "toric", "repetition"])
+    p.add_argument("-d", "--distance", type=int, default=3)
+    p.add_argument("-p", "--error-rate", type=float, default=0.05)
+    p.add_argument("--hidden", type=int, default=128)
+    p.add_argument("--msg-hidden", type=int, default=128)
+    p.add_argument("--rounds", type=int, default=8)
+    p.add_argument("--backend", default="segment", choices=["segment", "dense", "pallas"])
+    p.add_argument("--aggr", default="sum", choices=["sum", "mean", "max"])
+    p.add_argument("--per-round-weights", action="store_true")
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval-every", type=int, default=500)
+    p.add_argument("--eval-shots", type=int, default=4096)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--cpu", action="store_true", help="force the CPU platform")
+
+
+def build_config(args: argparse.Namespace) -> ExperimentConfig:
+    return ExperimentConfig(
+        code=CodeConfig(
+            family=args.family, distance=args.distance, p=args.error_rate
+        ),
+        model=ModelConfig(
+            hidden=args.hidden,
+            msg_hidden=args.msg_hidden,
+            rounds=args.rounds,
+            backend=args.backend,
+            aggr=args.aggr,
+            weight_tied=not args.per_round_weights,
+            dtype=args.dtype,
+        ),
+        train=TrainConfig(
+            batch=args.batch,
+            steps=args.steps,
+            lr=args.lr,
+            seed=args.seed,
+            eval_every=args.eval_every,
+            eval_shots=args.eval_shots,
+            checkpoint_dir=args.checkpoint_dir,
+        ),
+    )
+
+
+def _force_cpu() -> None:
+    import os
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="tpugnn", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name in ("train", "eval", "sweep"):
+        sp = sub.add_parser(name)
+        _add_common(sp)
+        if name == "eval":
+            sp.add_argument("--shots", type=int, default=100_000)
+        if name == "sweep":
+            sp.add_argument("--shots", type=int, default=20_000)
+            sp.add_argument("--ps", type=float, nargs="+", default=[0.01, 0.03, 0.05, 0.08])
+    args = ap.parse_args(argv)
+    if args.cpu:
+        _force_cpu()
+
+    import jax
+
+    from tpugnn.eval import ler_monte_carlo
+    from tpugnn.train import train as train_fn
+    from tpugnn.train.loop import init_state
+    from tpugnn.tanner import build_code
+
+    cfg = build_config(args)
+
+    if args.cmd == "train":
+        _, _, _, history = train_fn(cfg)
+        print(json.dumps(history[-1] if history else {}))
+        return 0
+
+    if args.cmd in ("eval", "sweep"):
+        graph = build_code(cfg.code.family, cfg.code.distance)
+        if cfg.train.checkpoint_dir:
+            state, model = init_state(cfg, graph)
+            from tpugnn.train.checkpoint import CheckpointManager
+
+            mgr = CheckpointManager(cfg.train.checkpoint_dir)
+            restored = mgr.restore_latest(state)
+            if restored is None:
+                print("no checkpoint found; evaluating fresh params", file=sys.stderr)
+            else:
+                state = restored
+        else:
+            state, model, graph, _ = train_fn(cfg, graph=graph)
+        ps = args.ps if args.cmd == "sweep" else [cfg.code.p]
+        for p in ps:
+            ev = ler_monte_carlo(
+                model.apply, state.params, graph,
+                p=p, shots=args.shots, batch=min(args.shots, 4096),
+                key=jax.random.PRNGKey(cfg.train.seed + 99),
+            )
+            print(json.dumps({"family": cfg.code.family, "d": cfg.code.distance,
+                              "p": p, **{k: ev[k] for k in ("ler", "ler_stderr", "shots")},
+                              **({"ler_logical": ev["ler_logical"]} if "ler_logical" in ev else {})}))
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

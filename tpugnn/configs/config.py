@@ -1,0 +1,81 @@
+"""Frozen config dataclasses (the reference's argparse flags, typed).
+
+The reference drives everything through argparse ``__main__`` flags
+[SURVEY.md §2.1 C7]; here every knob is a hashable frozen dataclass so a
+config can (a) be a static argument to jit — one compile per distinct config
+— and (b) hash into checkpoint / compile-cache keys.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+__all__ = ["CodeConfig", "ModelConfig", "TrainConfig", "MeshConfig", "ExperimentConfig"]
+
+
+@dataclass(frozen=True)
+class CodeConfig:
+    """Which QEC code instance to decode."""
+
+    family: str = "surface"         # surface | toric | repetition
+    distance: int = 3
+    p: float = 0.05                 # depolarizing rate (training / eval default)
+    pad_nodes: int = 8
+    pad_edges: int = 128
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """GNN decoder architecture (SURVEY.md §2.1 C4)."""
+
+    hidden: int = 128               # node state width
+    msg_hidden: int = 128           # edge-message MLP hidden width
+    rounds: int = 8                 # fixed BP-style message-round count
+    weight_tied: bool = True        # one cell reused every round (BP-like)
+    aggr: str = "sum"               # sum | mean | max
+    backend: str = "segment"        # segment | dense | pallas (mp backends)
+    readout: str = "both"           # per_qubit | logical | both
+    dtype: str = "float32"          # activation dtype ("bfloat16" for perf)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch: int = 256
+    steps: int = 2000
+    lr: float = 1e-3
+    warmup_steps: int = 100
+    weight_decay: float = 1e-4
+    seed: int = 0
+    loss_qubit_weight: float = 1.0
+    loss_logical_weight: float = 1.0
+    eval_every: int = 500
+    eval_shots: int = 4096
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 1000
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout (SURVEY.md §2.3/§2.4).
+
+    ``data`` shards the syndrome batch (DP); ``graph`` edge-partitions the
+    Tanner graph (the GNN analog of TP/SP).  On multi-host slices the data
+    axis should span DCN and the graph axis stay within ICI.
+    """
+
+    data: int = 1
+    graph: int = 1
+    axis_names: Tuple[str, str] = ("data", "graph")
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    code: CodeConfig = CodeConfig()
+    model: ModelConfig = ModelConfig()
+    train: TrainConfig = TrainConfig()
+    mesh: MeshConfig = MeshConfig()
+
+    def replace(self, **kw) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,172 @@
+"""Training loop: optax + one fused jitted step, sampling on-device.
+
+The reference runs a classic torch loop — host-side sampling, H2D transfer,
+forward/backward, ``optimizer.step()`` [SURVEY.md §3.1 C5].  The TPU-native
+loop fuses *everything* into a single donated jit step: threefry key split,
+depolarizing sampling, syndrome extraction, decoder forward, loss, backward
+and the optax update all compile into one XLA program, so steady-state
+training does zero host<->device transfers (the host only reads back scalar
+metrics when asked).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tpugnn.configs.config import ExperimentConfig
+from tpugnn.eval.ler import ler_monte_carlo
+from tpugnn.models.decoder import GNNDecoder
+from tpugnn.sampling.noise import sample_batch
+from tpugnn.tanner import build_code
+from tpugnn.tanner.graph import TannerGraph
+
+__all__ = ["TrainState", "make_train_step", "loss_fn", "train", "init_state"]
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    key: jax.Array
+    step: jnp.ndarray  # i32 scalar
+
+
+def _masks(graph: TannerGraph):
+    qm = (jnp.arange(graph.n_qubits_pad) < graph.n_qubits).astype(jnp.float32)
+    return qm
+
+
+def loss_fn(params, apply_fn, graph: TannerGraph, batch, cfg: ExperimentConfig):
+    """Masked BCE on per-qubit error bits + BCE on logical class bits."""
+    out = apply_fn(params, graph, batch.syndrome)
+    qm = _masks(graph)
+    total = 0.0
+    metrics = {}
+    if out.qubit_logits is not None and cfg.train.loss_qubit_weight:
+        targets = jnp.stack([batch.ex, batch.ez], axis=-1)  # [B, n_pad, 2]
+        per = optax.sigmoid_binary_cross_entropy(out.qubit_logits, targets)
+        per = per * qm[:, None]
+        lq = jnp.sum(per) / (batch.syndrome.shape[0] * graph.n_qubits * 2)
+        total = total + cfg.train.loss_qubit_weight * lq
+        metrics["loss_qubit"] = lq
+        hard = (out.qubit_logits > 0).astype(jnp.float32)
+        acc = jnp.sum((hard == targets) * qm[:, None]) / (
+            batch.syndrome.shape[0] * graph.n_qubits * 2
+        )
+        metrics["acc_qubit"] = acc
+    if out.logical_logits is not None and cfg.train.loss_logical_weight:
+        ll = jnp.mean(
+            optax.sigmoid_binary_cross_entropy(out.logical_logits, batch.class_bits)
+        )
+        total = total + cfg.train.loss_logical_weight * ll
+        metrics["loss_logical"] = ll
+    metrics["loss"] = total
+    return total, metrics
+
+
+def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
+    sched = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=cfg.train.lr,
+        warmup_steps=cfg.train.warmup_steps,
+        decay_steps=max(cfg.train.steps, cfg.train.warmup_steps + 1),
+        end_value=cfg.train.lr * 0.1,
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(sched, weight_decay=cfg.train.weight_decay),
+    )
+
+
+def init_state(cfg: ExperimentConfig, graph: TannerGraph):
+    """Initialize model params + optimizer state; returns (state, model)."""
+    model = GNNDecoder(cfg.model, k=graph.k)
+    key = jax.random.PRNGKey(cfg.train.seed)
+    key, pkey, skey = jax.random.split(key, 3)
+    dummy_syndrome = jnp.zeros((2, graph.n_checks_pad), jnp.float32)
+    params = model.init(pkey, graph, dummy_syndrome)
+    opt = make_optimizer(cfg)
+    state = TrainState(
+        params=params,
+        opt_state=opt.init(params),
+        key=skey,
+        step=jnp.zeros((), jnp.int32),
+    )
+    return state, model
+
+
+def make_train_step(cfg: ExperimentConfig, model: GNNDecoder):
+    """One fused train step: sample -> forward -> backward -> update."""
+    opt = make_optimizer(cfg)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, graph: TannerGraph):
+        key, sub = jax.random.split(state.key)
+        batch = sample_batch(sub, graph, cfg.code.p, cfg.train.batch)
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, model.apply, graph, batch, cfg
+        )
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params, opt_state=opt_state, key=key, step=state.step + 1
+        )
+        return new_state, metrics
+
+    return step
+
+
+def train(cfg: ExperimentConfig, *, graph: TannerGraph | None = None, log=print):
+    """Full training run; returns (state, model, graph, history)."""
+    if graph is None:
+        graph = build_code(
+            cfg.code.family,
+            cfg.code.distance,
+            pad_nodes=cfg.code.pad_nodes,
+            pad_edges=cfg.code.pad_edges,
+        )
+    state, model = init_state(cfg, graph)
+    step_fn = make_train_step(cfg, model)
+    history = []
+    ckpt_mgr = None
+    if cfg.train.checkpoint_dir:
+        from tpugnn.train.checkpoint import CheckpointManager
+
+        ckpt_mgr = CheckpointManager(cfg.train.checkpoint_dir)
+        restored = ckpt_mgr.restore_latest(state)
+        if restored is not None:
+            state = restored
+            log(f"restored checkpoint at step {int(state.step)}")
+
+    start = int(state.step)
+    for i in range(start, cfg.train.steps):
+        state, metrics = step_fn(state, graph)
+        if (i + 1) % max(1, cfg.train.eval_every) == 0 or i + 1 == cfg.train.steps:
+            m = {k: float(v) for k, v in metrics.items()}
+            ev = ler_monte_carlo(
+                model.apply,
+                state.params,
+                graph,
+                p=cfg.code.p,
+                shots=cfg.train.eval_shots,
+                batch=min(cfg.train.eval_shots, 1024),
+                key=jax.random.PRNGKey(1000 + i),
+            )
+            m.update({"step": i + 1, "ler": ev["ler"], "ler_stderr": ev["ler_stderr"]})
+            if "ler_logical" in ev:
+                m["ler_logical"] = ev["ler_logical"]
+            history.append(m)
+            log(
+                f"step {i + 1}: loss={m['loss']:.4f} ler={m['ler']:.4f}"
+                + (f" ler_logical={m['ler_logical']:.4f}" if "ler_logical" in m else "")
+            )
+        if ckpt_mgr is not None and (i + 1) % cfg.train.checkpoint_every == 0:
+            ckpt_mgr.save(state)
+    if ckpt_mgr is not None:
+        ckpt_mgr.save(state)
+        ckpt_mgr.wait()
+    return state, model, graph, history
