@@ -1,0 +1,134 @@
+"""Headline benchmark: edges/s/chip on the d=11 surface-code Tanner graph.
+
+Prints ONE JSON line:
+    {"metric": "edges_per_s_per_chip_d11", "value": N, "unit": "edges/s",
+     "vs_baseline": R, ...}
+
+Metric definition (BASELINE.md: no published reference numbers exist, so the
+metric is defined here and held fixed across rounds):
+
+    edges/s/chip = batch * n_edges * rounds / median_step_time
+
+for the jitted *decode* step (syndrome batch in -> hard corrections out) of
+the flagship config: surface code d=11, B=4096, R=8 message rounds,
+hidden=128.  ``vs_baseline`` is the speedup of the best TPU-native backend
+over the reference-style path (XLA gather + segment-sum aggregation, i.e.
+the direct semantic equivalent of the reference's index_select +
+torch_scatter pipeline) measured in the same run on the same chip.
+
+Usage: python bench.py [--quick]   (runs on the default JAX platform)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _time_fn(fn, *args, iters: int, warmup: int = 2) -> float:
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times)
+
+
+def bench_backend(backend: str, *, d: int, batch: int, rounds: int, hidden: int,
+                  iters: int) -> dict:
+    from tpugnn.configs import ModelConfig
+    from tpugnn.eval.ler import decode_corrections
+    from tpugnn.models import GNNDecoder
+    from tpugnn.sampling import sample_batch
+    from tpugnn.tanner import build_code
+
+    graph = build_code("surface", d)
+    cfg = ModelConfig(hidden=hidden, msg_hidden=hidden, rounds=rounds,
+                      backend=backend, readout="per_qubit", dtype="bfloat16")
+    model = GNNDecoder(cfg, k=graph.k)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, graph, jnp.zeros((2, graph.n_checks_pad)))
+    b = sample_batch(key, graph, 0.05, batch)
+
+    @jax.jit
+    def decode(params, syndrome):
+        out = model.apply(params, graph, syndrome)
+        return decode_corrections(out.qubit_logits)
+
+    t = _time_fn(decode, params, b.syndrome, iters=iters)
+    edges = batch * graph.n_edges * rounds
+    return {
+        "backend": backend,
+        "step_time_s": t,
+        "edges_per_s": edges / t,
+        "n_edges": graph.n_edges,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="small config (CI smoke)")
+    ap.add_argument("--d", type=int, default=11)
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--rounds", type=int, default=8)
+    ap.add_argument("--hidden", type=int, default=128)
+    args = ap.parse_args()
+    if args.quick:
+        args.d, args.batch, args.rounds, args.hidden = 3, 256, 4, 32
+    iters = 5 if args.quick else 10
+
+    candidates = ["ell", "dense", "segment"]
+    try:  # pallas backend is optional until the kernels land
+        import tpugnn.kernels.spmm  # noqa: F401
+
+        candidates.insert(0, "pallas")
+    except Exception:
+        pass
+
+    results = {}
+    for be in candidates:
+        try:
+            results[be] = bench_backend(
+                be, d=args.d, batch=args.batch, rounds=args.rounds,
+                hidden=args.hidden, iters=iters,
+            )
+        except Exception as e:  # a backend failing must not kill the bench
+            print(f"backend {be} failed: {type(e).__name__}: {e}", file=sys.stderr)
+
+    if not results:
+        print(json.dumps({"metric": "edges_per_s_per_chip_d11", "value": 0.0,
+                          "unit": "edges/s", "vs_baseline": 0.0, "error": "all backends failed"}))
+        return 1
+
+    best_name = max(results, key=lambda k: results[k]["edges_per_s"])
+    best = results[best_name]
+    ref = results.get("segment", best)  # reference-style scatter/gather path
+    line = {
+        "metric": f"edges_per_s_per_chip_d{args.d}",
+        "value": round(best["edges_per_s"], 1),
+        "unit": "edges/s",
+        "vs_baseline": round(best["edges_per_s"] / ref["edges_per_s"], 3),
+        "best_backend": best_name,
+        "step_time_ms": round(best["step_time_s"] * 1e3, 3),
+        "batch": args.batch,
+        "rounds": args.rounds,
+        "n_edges": best["n_edges"],
+        "platform": jax.default_backend(),
+        "all_backends": {k: round(v["edges_per_s"], 1) for k, v in results.items()},
+    }
+    print(json.dumps(line))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,78 @@
+"""Edge-partitioned decode == single-device decode (SURVEY.md §4.4).
+
+Deterministic segmented sums (no atomics) make the comparison exact up to
+f32 reassociation in the halo all_gather concat order; we assert a tight
+allclose and identical hard decisions.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpugnn.configs import CodeConfig, ExperimentConfig, ModelConfig, TrainConfig
+from tpugnn.dist import build_partitioned_code, make_mesh, make_sharded_apply, make_sharded_train_step
+from tpugnn.configs.config import MeshConfig
+from tpugnn.models import GNNDecoder
+from tpugnn.sampling import sample_batch
+from tpugnn.train.loop import init_state, loss_fn
+
+
+@pytest.mark.parametrize("family,d,P", [("surface", 5, 4), ("toric", 3, 2)])
+def test_sharded_forward_matches_single_device(family, d, P, devices8):
+    graph, pg = build_partitioned_code(family, d, P)
+    mesh = make_mesh(MeshConfig(data=1, graph=P), n_devices=P)
+    cfg = ModelConfig(hidden=16, msg_hidden=16, rounds=3)
+    model = GNNDecoder(cfg, k=graph.k)
+    b = sample_batch(jax.random.PRNGKey(0), graph, 0.08, 8)
+    params = model.init(jax.random.PRNGKey(1), graph, b.syndrome)
+
+    ref = model.apply(params, graph, b.syndrome)
+    sharded = make_sharded_apply(model, mesh, pg)
+    got = jax.jit(sharded)(params, graph, b.syndrome)
+
+    np.testing.assert_allclose(
+        np.asarray(got.qubit_logits), np.asarray(ref.qubit_logits), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.logical_logits), np.asarray(ref.logical_logits), atol=1e-4
+    )
+    # identical hard corrections
+    np.testing.assert_array_equal(
+        np.asarray(got.qubit_logits > 0), np.asarray(ref.qubit_logits > 0)
+    )
+
+
+def test_sharded_train_step_matches_single_device(devices8):
+    graph, pg = build_partitioned_code("surface", 3, 2)
+    mesh = make_mesh(MeshConfig(data=2, graph=2), n_devices=4)
+    cfg = ExperimentConfig(
+        code=CodeConfig(family="surface", distance=3, p=0.05),
+        model=ModelConfig(hidden=16, msg_hidden=16, rounds=2),
+        train=TrainConfig(batch=16, steps=1, warmup_steps=1),
+    )
+    state, model = init_state(cfg, graph)
+
+    # single-device reference step
+    from tpugnn.train.loop import make_train_step
+
+    ref_step = make_train_step(cfg, model)
+    dist_step = make_sharded_train_step(cfg, model, mesh, graph, pg)
+
+    # both steps donate their input state buffers -> give each a real copy
+    state_a = jax.tree.map(jnp.copy, state)
+    state_b = jax.tree.map(jnp.copy, state)
+    s_ref, m_ref = ref_step(state_a, graph)
+    s_dist, m_dist = dist_step(state_b, graph)
+    assert abs(float(m_ref["loss"]) - float(m_dist["loss"])) < 1e-4
+    ref_leaves = jax.tree.leaves(s_ref.params)
+    dist_leaves = jax.tree.leaves(s_dist.params)
+    for a, b in zip(ref_leaves, dist_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+@pytest.mark.parametrize("n", [1, 2, 4, 8])
+def test_dryrun_all_device_counts(n, devices8):
+    from tpugnn.dist import dryrun
+
+    dryrun(n)

@@ -16,7 +16,7 @@ from tpugnn.mp import (
 )
 from tpugnn.tanner import build_code
 
-BACKENDS = ["segment", "dense"]
+BACKENDS = ["segment", "dense", "ell"]
 
 
 def _rand_states(g, B=4, F=16, seed=0):

@@ -1,0 +1,129 @@
+"""Halo exchange + shard-local aggregation for edge-partitioned rounds.
+
+Implements the distributed twin of ``tpugnn.mp.bipartite_round`` running
+inside ``jax.shard_map`` over the 'graph' mesh axis (SURVEY.md §2.4
+dist/exchange.py):
+
+1. **Halo exchange** — every shard needs *source* node features owned by
+   other shards.  v1 uses a tiled ``all_gather`` over the graph axis (the
+   node feature tensors are small: the graph is O(d^2) nodes while compute
+   is O(batch * edges * hidden)); XLA schedules the two gathers
+   asynchronously against the local endpoint gathers.  A boundary-only
+   all_to_all with interior/boundary overlap is the planned refinement for
+   d >= 15 multi-host meshes.
+2. **Local aggregation** — edges were assigned to the owner of their
+   destination row (tpugnn.dist.partition), so scatter-aggregation is a
+   purely local contiguous segmented sum; no partial-sum reduction crosses
+   the network and results are bit-identical to the single-device path
+   (asserted in tests/dist/test_parity.py).
+
+Collectives ride `jax.lax` (all_gather / psum) and compile onto ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpugnn.dist.partition import LocalGraphView
+
+__all__ = ["sharded_bipartite_round", "sharded_propagate"]
+
+
+def _segment(msg, dst, rows, agg, deg):
+    import jax.ops
+
+    def one(m):
+        if agg == "max":
+            out = jax.ops.segment_max(m, dst, num_segments=rows)
+            return jnp.where(jnp.isneginf(out), 0.0, out)
+        return jax.ops.segment_sum(m, dst, num_segments=rows)
+
+    out = jax.vmap(one)(msg.reshape((-1,) + msg.shape[-2:])).reshape(
+        msg.shape[:-2] + (rows, msg.shape[-1])
+    )
+    if agg == "mean":
+        out = out / deg[:, None]
+    return out
+
+
+def sharded_propagate(
+    view: LocalGraphView,
+    x_check: jnp.ndarray,
+    x_qubit: jnp.ndarray,
+    message_fn,
+    *,
+    to: str,
+    edge_attr=None,
+    aggr: str = "sum",
+    update_fn=None,
+) -> jnp.ndarray:
+    """Directed propagate on one shard: halo-gather sources, aggregate locally."""
+    if edge_attr is not None:
+        raise NotImplementedError("edge_attr is not supported on the sharded path yet")
+    ax = view.mesh_axis
+    if to == "check":
+        x_src_all = jax.lax.all_gather(x_qubit, ax, axis=-2, tiled=True)
+        xc_e = jnp.take(x_check, view.c_dst, axis=-2)
+        xq_e = jnp.take(x_src_all, view.c_src, axis=-2)
+        msg = message_fn(xc_e, xq_e, None) * view.c_mask[:, None]
+        out = _segment(msg, view.c_dst, view.n_checks_pad, aggr, view.check_deg)
+        old = x_check
+    elif to == "qubit":
+        x_src_all = jax.lax.all_gather(x_check, ax, axis=-2, tiled=True)
+        xq_e = jnp.take(x_qubit, view.q_dst, axis=-2)
+        xc_e = jnp.take(x_src_all, view.q_src, axis=-2)
+        msg = message_fn(xc_e, xq_e, None) * view.q_mask[:, None]
+        out = _segment(msg, view.q_dst, view.n_qubits_pad, aggr, view.qubit_deg)
+        old = x_qubit
+    else:
+        raise ValueError(f"to must be 'check' or 'qubit', got {to!r}")
+    if update_fn is not None:
+        out = update_fn(old, out)
+    return out
+
+
+def sharded_bipartite_round(
+    view: LocalGraphView,
+    state,
+    *,
+    message_to_qubit,
+    message_to_check,
+    update_check,
+    update_qubit,
+    edge_attr=None,
+    aggr: str = "sum",
+):
+    """One BP round on one graph shard (both directions, Jacobi update).
+
+    Note: unlike the single-device round, each direction evaluates its
+    message MLP on its own destination-owned edge replica, so messages are
+    computed once per (edge, direction) — same results, and the halo
+    exchange stays feature-only.
+    """
+    if edge_attr is not None:
+        raise NotImplementedError("edge_attr is not supported on the sharded path yet")
+    ax = view.mesh_axis
+    xq_all = jax.lax.all_gather(state.qubit, ax, axis=-2, tiled=True)
+    xc_all = jax.lax.all_gather(state.check, ax, axis=-2, tiled=True)
+
+    # check-direction: local check endpoints, halo qubit endpoints
+    xc_e = jnp.take(state.check, view.c_dst, axis=-2)
+    xq_e = jnp.take(xq_all, view.c_src, axis=-2)
+    m_c = message_to_check(xc_e, xq_e, None) * view.c_mask[:, None]
+    agg_c = _segment(m_c, view.c_dst, view.n_checks_pad, aggr, view.check_deg)
+
+    # qubit-direction: local qubit endpoints, halo check endpoints
+    xq_e2 = jnp.take(state.qubit, view.q_dst, axis=-2)
+    xc_e2 = jnp.take(xc_all, view.q_src, axis=-2)
+    m_q = message_to_qubit(xc_e2, xq_e2, None) * view.q_mask[:, None]
+    agg_q = _segment(m_q, view.q_dst, view.n_qubits_pad, aggr, view.qubit_deg)
+
+    from tpugnn.mp.propagate import NodeStates
+
+    return NodeStates(
+        check=update_check(state.check, agg_c),
+        qubit=update_qubit(state.qubit, agg_q),
+    )

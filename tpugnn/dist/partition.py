@@ -1,0 +1,185 @@
+"""Deterministic edge partitioner for graph-parallel message passing.
+
+Partition scheme (SURVEY.md §2.4 dist/partition.py):
+
+* Check rows and qubit rows are split into ``n_parts`` contiguous blocks of
+  the *global padded layout* (block p owns checks [p*mb, (p+1)*mb) and qubits
+  [p*nb, (p+1)*nb)), so shard-local node features are plain slices of the
+  global arrays and reassembling outputs is concatenation — no permutation.
+* Every edge is assigned **twice, once per aggregation direction**, to the
+  shard that owns the edge's *destination* row: the check-direction list of
+  shard p holds every edge whose check lies in p's block (sorted by check,
+  CSR-style), the qubit-direction list likewise by qubit.  Aggregation is
+  therefore always a purely local segmented sum; only *source node features*
+  cross shards (halo exchange, tpugnn.dist.exchange).
+* Per-shard lists are padded to the max shard size (static shapes across the
+  mesh); padded edges carry zero mask and point at the local dump row.
+
+Partitioner invariants (each edge assigned exactly once per direction, local
+aggregation == global aggregation) are asserted in tests/dist/.
+
+The reference has no distributed story at all — single process, single GPU
+[SURVEY.md §2.3]; this subsystem is new capability mandated by
+BASELINE.json's north star (multi-host edge-partitioned d>=15 decoding).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from tpugnn.tanner.graph import TannerGraph, build_tanner_graph
+
+__all__ = ["PartitionedGraph", "LocalGraphView", "partition_graph", "build_partitioned_code"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@struct.dataclass
+class LocalGraphView:
+    """One shard's view of the partitioned Tanner graph (inside shard_map).
+
+    Exposes the same attribute surface the decoder model and the mp engine
+    touch on TannerGraph (n_checks_pad, check_mask, check_is_x, ...), so the
+    *same* flax module body runs unchanged per shard; mp dispatches on this
+    type to run halo-exchange message passing (tpugnn.dist.exchange).
+    """
+
+    # statics
+    name: str = struct.field(pytree_node=False)
+    mesh_axis: str = struct.field(pytree_node=False)     # mesh axis name ('graph')
+    n_checks_pad: int = struct.field(pytree_node=False)  # = mb (local rows)
+    n_qubits_pad: int = struct.field(pytree_node=False)  # = nb
+    n_checks: int = struct.field(pytree_node=False)      # GLOBAL real counts
+    n_qubits: int = struct.field(pytree_node=False)      # (pool normalization)
+    k: int = struct.field(pytree_node=False)
+
+    # leaves (shard-local)
+    c_dst: jnp.ndarray       # i32[Ec] local check index
+    c_src: jnp.ndarray       # i32[Ec] GLOBAL qubit index
+    c_mask: jnp.ndarray      # f32[Ec]
+    q_dst: jnp.ndarray       # i32[Eq] local qubit index
+    q_src: jnp.ndarray       # i32[Eq] GLOBAL check index
+    q_mask: jnp.ndarray      # f32[Eq]
+    check_mask: jnp.ndarray  # f32[mb]
+    qubit_mask: jnp.ndarray  # f32[nb]
+    check_is_x: jnp.ndarray  # f32[mb]
+    check_deg: jnp.ndarray   # f32[mb]
+    qubit_deg: jnp.ndarray   # f32[nb]
+
+
+@struct.dataclass
+class PartitionedGraph:
+    """Stacked per-shard graph data; leading axis = shard = mesh 'graph' axis."""
+
+    # statics
+    name: str = struct.field(pytree_node=False)
+    n_parts: int = struct.field(pytree_node=False)
+    mesh_axis: str = struct.field(pytree_node=False)
+    mb: int = struct.field(pytree_node=False)            # local check rows
+    nb: int = struct.field(pytree_node=False)            # local qubit rows
+    ec_pad: int = struct.field(pytree_node=False)
+    eq_pad: int = struct.field(pytree_node=False)
+    n_checks: int = struct.field(pytree_node=False)
+    n_qubits: int = struct.field(pytree_node=False)
+    k: int = struct.field(pytree_node=False)
+
+    # leaves, shape [P, ...]
+    c_dst: jnp.ndarray
+    c_src: jnp.ndarray
+    c_mask: jnp.ndarray
+    q_dst: jnp.ndarray
+    q_src: jnp.ndarray
+    q_mask: jnp.ndarray
+    check_mask: jnp.ndarray
+    qubit_mask: jnp.ndarray
+    check_is_x: jnp.ndarray
+    check_deg: jnp.ndarray
+    qubit_deg: jnp.ndarray
+
+    def local(self) -> LocalGraphView:
+        """Squeeze the shard axis (call inside shard_map, where P-slice = 1)."""
+        sq = lambda a: a[0]
+        return LocalGraphView(
+            name=self.name, mesh_axis=self.mesh_axis,
+            n_checks_pad=self.mb, n_qubits_pad=self.nb,
+            n_checks=self.n_checks, n_qubits=self.n_qubits, k=self.k,
+            c_dst=sq(self.c_dst), c_src=sq(self.c_src), c_mask=sq(self.c_mask),
+            q_dst=sq(self.q_dst), q_src=sq(self.q_src), q_mask=sq(self.q_mask),
+            check_mask=sq(self.check_mask), qubit_mask=sq(self.qubit_mask),
+            check_is_x=sq(self.check_is_x),
+            check_deg=sq(self.check_deg), qubit_deg=sq(self.qubit_deg),
+        )
+
+
+def partition_graph(
+    graph: TannerGraph, n_parts: int, *, mesh_axis: str = "graph",
+    pad_edges: int = 128,
+) -> PartitionedGraph:
+    """Partition a built TannerGraph into ``n_parts`` contiguous node blocks.
+
+    Requires the padded node counts to divide evenly (use
+    :func:`build_partitioned_code` to construct a graph padded for a given
+    shard count).
+    """
+    m_pad, n_pad = graph.n_checks_pad, graph.n_qubits_pad
+    if m_pad % n_parts or n_pad % n_parts:
+        raise ValueError(
+            f"padded node counts ({m_pad}, {n_pad}) must divide n_parts={n_parts}; "
+            "build the graph with pad_nodes a multiple of 8*n_parts"
+        )
+    mb, nb = m_pad // n_parts, n_pad // n_parts
+
+    ec = np.asarray(graph.edge_check)[: graph.n_edges]
+    eq = np.asarray(graph.edge_qubit)[: graph.n_edges]
+
+    def lists(dst, src, block):
+        owners = dst // block
+        per = [np.lexsort((src[owners == p], dst[owners == p])) for p in range(n_parts)]
+        counts = [int((owners == p).sum()) for p in range(n_parts)]
+        epad = _round_up(max(max(counts), 1), pad_edges)
+        d = np.full((n_parts, epad), block - 1, np.int32)
+        s = np.zeros((n_parts, epad), np.int32)
+        msk = np.zeros((n_parts, epad), np.float32)
+        for p in range(n_parts):
+            sel = np.where(owners == p)[0][per[p]]
+            c = counts[p]
+            d[p, :c] = dst[sel] - p * block
+            s[p, :c] = src[sel]
+            msk[p, :c] = 1.0
+        return d, s, msk, epad, counts
+
+    c_dst, c_src, c_mask, ec_pad, c_counts = lists(ec, eq, mb)
+    q_dst, q_src, q_mask, eq_pad, q_counts = lists(eq, ec, nb)
+    assert sum(c_counts) == graph.n_edges and sum(q_counts) == graph.n_edges
+
+    def blocks(x, block):
+        return np.asarray(x).reshape(n_parts, block)
+
+    return PartitionedGraph(
+        name=graph.name + f"_p{n_parts}", n_parts=n_parts, mesh_axis=mesh_axis,
+        mb=mb, nb=nb, ec_pad=ec_pad, eq_pad=eq_pad,
+        n_checks=graph.n_checks, n_qubits=graph.n_qubits, k=graph.k,
+        c_dst=jnp.asarray(c_dst), c_src=jnp.asarray(c_src), c_mask=jnp.asarray(c_mask),
+        q_dst=jnp.asarray(q_dst), q_src=jnp.asarray(q_src), q_mask=jnp.asarray(q_mask),
+        check_mask=jnp.asarray(blocks(graph.check_mask, mb)),
+        qubit_mask=jnp.asarray(blocks(graph.qubit_mask, nb)),
+        check_is_x=jnp.asarray(blocks(graph.check_is_x, mb)),
+        check_deg=jnp.asarray(blocks(graph.check_deg, mb)),
+        qubit_deg=jnp.asarray(blocks(graph.qubit_deg, nb)),
+    )
+
+
+def build_partitioned_code(
+    family: str, distance: int, n_parts: int, **kw
+) -> tuple[TannerGraph, PartitionedGraph]:
+    """Build a code with padding compatible with an ``n_parts`` graph axis."""
+    from tpugnn.tanner import build_code
+
+    pad = kw.pop("pad_nodes", 8)
+    pad = _round_up(pad * n_parts, 8)
+    graph = build_code(family, distance, pad_nodes=pad, **kw)
+    return graph, partition_graph(graph, n_parts)

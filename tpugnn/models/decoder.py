@@ -106,8 +106,11 @@ class GNNDecoder(nn.Module):
         batch = syndrome.shape[0]
         m_pad, n_pad = graph.n_checks_pad, graph.n_qubits_pad
 
-        check_mask = (jnp.arange(m_pad) < graph.n_checks).astype(dtype)
-        qubit_mask = (jnp.arange(n_pad) < graph.n_qubits).astype(dtype)
+        # mask *arrays* from the graph (not arange-vs-static) so the same
+        # module body runs unchanged on shard-local graph views under
+        # shard_map, where real-node counts differ per shard
+        check_mask = graph.check_mask.astype(dtype)
+        qubit_mask = graph.qubit_mask.astype(dtype)
 
         # --- embed -------------------------------------------------------
         s_pm = (2.0 * syndrome.astype(dtype) - 1.0) * check_mask  # +/-1, 0 on pads
@@ -153,8 +156,10 @@ class GNNDecoder(nn.Module):
                 state.qubit
             )
         if cfg.readout in ("logical", "both"):
-            qsum = jnp.sum(state.qubit * qubit_mask[:, None], axis=-2)
-            csum = jnp.sum(state.check * check_mask[:, None], axis=-2)
+            from tpugnn.mp.aggregate import global_node_sum
+
+            qsum = global_node_sum(graph, state.qubit, which="qubit")
+            csum = global_node_sum(graph, state.check, which="check")
             pooled = jnp.concatenate(
                 [qsum / graph.n_qubits, csum / graph.n_checks], axis=-1
             )

@@ -22,8 +22,14 @@ other (tests/kernels/):
                path but the MXU executes them ~100x faster than VPU
                scatter traffic; this wins for small graphs and loses at
                d >~ 17 where O(N*E) growth catches up (bench harness picks).
-``pallas``   — hand-written row-block CSR segmented-sum / SDDMM kernels
-               (tpugnn.kernels), used automatically when available.
+``ell``      — uniform-degree path: QEC Tanner graphs have bounded degree
+               (<= 4 for surface/toric), so every destination row is padded
+               to deg_max slots at graph-build time and aggregation becomes
+               ``take`` + masked reshape-sum over [rows, deg_max] — *no
+               scatter primitive at all*, near-zero padding waste, and every
+               op is a dense VPU/MXU-friendly tensor op.
+``pallas``   — hand-written fused kernels (tpugnn.kernels) built on the ELL
+               layout, used for the fused round loop.
 
 All backends treat padded edges as exact zeros (mask multiplication before
 aggregation) and padded rows as dump rows, so padding never changes results
@@ -46,7 +52,7 @@ __all__ = [
     "BACKENDS",
 ]
 
-BACKENDS = ("segment", "dense", "pallas")
+BACKENDS = ("segment", "dense", "ell", "pallas")
 
 
 def _validate_backend(backend: str) -> None:
@@ -138,10 +144,25 @@ def _aggregate(
         seg_ids, rows, deg = graph.edge_qubit, graph.n_qubits_pad, graph.qubit_deg
         onehot = _qubit_onehot
 
-    if backend == "pallas":
-        from tpugnn.kernels import spmm  # local import: optional backend
+    if backend in ("ell", "pallas"):
+        if to == "check":
+            slot_edge, slot_mask = graph.ell_check_edge, graph.ell_check_mask
+        else:
+            slot_edge, slot_mask = graph.ell_qubit_edge, graph.ell_qubit_mask
+        if backend == "pallas":
+            from tpugnn.kernels import spmm  # local import: optional backend
 
-        out = spmm.csr_aggregate(graph, msg, to=to)
+            out = spmm.ell_aggregate(msg, slot_edge, slot_mask, agg=agg)
+        else:
+            f = msg.shape[-1]
+            sl = jnp.take(msg, slot_edge.reshape(-1), axis=-2)
+            sl = sl.reshape(msg.shape[:-2] + slot_edge.shape + (f,))
+            if agg == "max":
+                sl = jnp.where(slot_mask[..., None] > 0, sl, -jnp.inf)
+                out = jnp.max(sl, axis=-2)
+                out = jnp.where(jnp.isneginf(out), 0.0, out)
+            else:
+                out = jnp.sum(sl * slot_mask[..., None], axis=-2)
         if agg == "mean":
             out = out / deg[:, None]
         return out
@@ -158,6 +179,20 @@ def _aggregate(
     out = _segment_agg(msg, seg_ids, rows, agg)
     if agg == "mean":
         out = out / deg[:, None]
+    return out
+
+
+def global_node_sum(graph, x: jnp.ndarray, *, which: str) -> jnp.ndarray:
+    """Masked sum of node features over ALL real nodes: [..., rows, F] -> [..., F].
+
+    On a shard-local graph view (tpugnn.dist), this additionally psums the
+    partial over the 'graph' mesh axis so every shard sees the global pool.
+    """
+    mask = graph.check_mask if which == "check" else graph.qubit_mask
+    out = jnp.sum(x * mask[:, None], axis=-2)
+    axis = getattr(graph, "mesh_axis", None)
+    if axis is not None:
+        out = jax.lax.psum(out, axis)
     return out
 
 

@@ -70,6 +70,14 @@ def propagate(
     """
     if to not in ("check", "qubit"):
         raise ValueError(f"to must be 'check' or 'qubit', got {to!r}")
+    if getattr(graph, "mesh_axis", None) is not None:
+        # shard-local view under shard_map -> halo-exchange path
+        from tpugnn.dist.exchange import sharded_propagate
+
+        return sharded_propagate(
+            graph, x_check, x_qubit, message_fn,
+            to=to, edge_attr=edge_attr, aggr=aggr, update_fn=update_fn,
+        )
     xc_e, xq_e = gather_endpoints(graph, x_check, x_qubit, backend=backend)
     msg = message_fn(xc_e, xq_e, edge_attr)
     if to == "check":
@@ -101,7 +109,23 @@ def bipartite_round(
     update, matching flooding-schedule belief propagation); the endpoint
     gather is shared between directions, halving the collect cost relative
     to two independent ``propagate`` calls.
+
+    On a shard-local graph view (inside shard_map over the 'graph' mesh
+    axis), this transparently routes to the halo-exchange implementation in
+    tpugnn.dist.exchange — the calling model code is identical on one chip
+    and on a pod slice.
     """
+    if getattr(graph, "mesh_axis", None) is not None:
+        from tpugnn.dist.exchange import sharded_bipartite_round
+
+        return sharded_bipartite_round(
+            graph, state,
+            message_to_qubit=message_to_qubit,
+            message_to_check=message_to_check,
+            update_check=update_check,
+            update_qubit=update_qubit,
+            edge_attr=edge_attr, aggr=aggr,
+        )
     xc_e, xq_e = gather_endpoints(graph, state.check, state.qubit, backend=backend)
     m_q = message_to_qubit(xc_e, xq_e, edge_attr)
     m_c = message_to_check(xc_e, xq_e, edge_attr)

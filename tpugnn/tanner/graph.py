@@ -67,6 +67,8 @@ class TannerGraph:
     n_qubits_pad: int = struct.field(pytree_node=False)
     n_edges_pad: int = struct.field(pytree_node=False)
     k: int = struct.field(pytree_node=False)            # number of logical qubits
+    deg_max_check: int = struct.field(pytree_node=False)  # max check degree (ELL width)
+    deg_max_qubit: int = struct.field(pytree_node=False)  # max qubit degree (ELL width)
 
     # --- COO (canonical order: sorted by (check, qubit)) -----------------
     edge_check: jnp.ndarray   # i32[E_pad]; padded edges -> n_checks_pad - 1
@@ -81,6 +83,20 @@ class TannerGraph:
     qubit_perm: jnp.ndarray    # i32[E_pad]; canonical id of i-th qubit-sorted edge
     qubit_rowptr: jnp.ndarray  # i32[n_pad + 1]
     qubit_deg: jnp.ndarray     # f32[n_pad]
+
+    # --- ELL (uniform-degree) slot tables --------------------------------
+    # QEC Tanner graphs have tiny bounded degree (<= 4 for surface/toric),
+    # so padding every row to deg_max turns scatter-aggregation into a dense
+    # masked reshape-sum over [rows, deg_max] slots — no scatter at all, the
+    # TPU-native replacement for torch_scatter [SURVEY.md §7 hard-part #1].
+    ell_check_edge: jnp.ndarray  # i32[m_pad, Dc]; canonical edge id (sentinel: E_pad-1)
+    ell_check_mask: jnp.ndarray  # f32[m_pad, Dc]
+    ell_qubit_edge: jnp.ndarray  # i32[n_pad, Dq]
+    ell_qubit_mask: jnp.ndarray  # f32[n_pad, Dq]
+
+    # --- node masks (1.0 real, 0.0 padding) ------------------------------
+    check_mask: jnp.ndarray    # f32[m_pad]
+    qubit_mask: jnp.ndarray    # f32[n_pad]
 
     # --- dense operators (MXU path + syndrome map) -----------------------
     h_syn_ez: jnp.ndarray      # f32[m_pad, n_pad]; X-type rows: s = Hx @ ez
@@ -139,10 +155,10 @@ def build_tanner_graph(
     cc, qq = cc[order].astype(np.int32), qq[order].astype(np.int32)
     e = cc.shape[0]
 
-    # strictly grow padded dims so the last row is always a dump row
+    # strictly grow padded dims so the last row/edge is always a dump slot
     m_pad = _round_up(m + 1, pad_nodes)
     n_pad = _round_up(n + 1, pad_nodes)
-    e_pad = _round_up(max(e, 1), pad_edges)
+    e_pad = _round_up(e + 1, pad_edges)
 
     edge_check = np.full(e_pad, m_pad - 1, np.int32)
     edge_qubit = np.full(e_pad, n_pad - 1, np.int32)
@@ -160,6 +176,24 @@ def build_tanner_graph(
     qubit_deg = np.bincount(edge_qubit, minlength=n_pad).astype(np.int64)
     qubit_rowptr = np.zeros(n_pad + 1, np.int32)
     qubit_rowptr[1:] = np.cumsum(qubit_deg).astype(np.int32)
+
+    # ELL slot tables: canonical edge ids per destination row, padded to the
+    # max degree; sentinel slots point at canonical edge e_pad-1 (always a
+    # masked padding edge since e_pad > e).
+    def ell(dst, rows):
+        deg = np.bincount(dst, minlength=rows)
+        dmax = max(int(deg[:rows].max(initial=0)), 1)
+        tbl = np.full((rows, dmax), e_pad - 1, np.int32)
+        msk = np.zeros((rows, dmax), np.float32)
+        fill = np.zeros(rows, np.int64)
+        for eid, r in enumerate(dst):
+            tbl[r, fill[r]] = eid
+            msk[r, fill[r]] = 1.0
+            fill[r] += 1
+        return tbl, msk, dmax
+
+    ell_c_edge, ell_c_mask, dc = ell(cc, m_pad)
+    ell_q_edge, ell_q_mask, dq = ell(qq, n_pad)
 
     # dense padded operators
     h_pad = np.zeros((m_pad, n_pad), np.float32)
@@ -183,6 +217,7 @@ def build_tanner_graph(
         name=name,
         n_checks=m, n_qubits=n, n_edges=e, n_checks_x=mx,
         n_checks_pad=m_pad, n_qubits_pad=n_pad, n_edges_pad=e_pad, k=k,
+        deg_max_check=dc, deg_max_qubit=dq,
         edge_check=jnp.asarray(edge_check),
         edge_qubit=jnp.asarray(edge_qubit),
         edge_mask=jnp.asarray(edge_mask),
@@ -191,6 +226,12 @@ def build_tanner_graph(
         qubit_perm=jnp.asarray(qorder),
         qubit_rowptr=jnp.asarray(qubit_rowptr),
         qubit_deg=jnp.asarray(np.maximum(qubit_deg, 1).astype(np.float32)),
+        ell_check_edge=jnp.asarray(ell_c_edge),
+        ell_check_mask=jnp.asarray(ell_c_mask),
+        ell_qubit_edge=jnp.asarray(ell_q_edge),
+        ell_qubit_mask=jnp.asarray(ell_q_mask),
+        check_mask=jnp.asarray((np.arange(m_pad) < m).astype(np.float32)),
+        qubit_mask=jnp.asarray((np.arange(n_pad) < n).astype(np.float32)),
         h_syn_ez=jnp.asarray(h_syn_ez),
         h_syn_ex=jnp.asarray(h_syn_ex),
         check_is_x=jnp.asarray(is_x),
