@@ -87,7 +87,7 @@ def main() -> int:
         args.d, args.batch, args.rounds, args.hidden = 3, 256, 4, 32
     iters = 5 if args.quick else 10
 
-    candidates = ["ell", "dense", "segment"]
+    candidates = ["fused", "ell", "dense", "segment"]
     try:  # pallas backend is optional until the kernels land
         import tpugnn.kernels.spmm  # noqa: F401
 

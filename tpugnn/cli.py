@@ -27,7 +27,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--hidden", type=int, default=128)
     p.add_argument("--msg-hidden", type=int, default=128)
     p.add_argument("--rounds", type=int, default=8)
-    p.add_argument("--backend", default="segment", choices=["segment", "dense", "ell", "pallas"])
+    p.add_argument("--backend", default="segment", choices=["segment", "dense", "ell", "fused", "pallas"])
     p.add_argument("--aggr", default="sum", choices=["sum", "mean", "max"])
     p.add_argument("--per-round-weights", action="store_true")
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])

@@ -35,7 +35,7 @@ class ModelConfig:
     rounds: int = 8                 # fixed BP-style message-round count
     weight_tied: bool = True        # one cell reused every round (BP-like)
     aggr: str = "sum"               # sum | mean | max
-    backend: str = "segment"        # segment | dense | ell | pallas (mp backends)
+    backend: str = "segment"        # segment | dense | ell | fused | pallas
     readout: str = "both"           # per_qubit | logical | both
     dtype: str = "float32"          # activation dtype ("bfloat16" for perf)
 

@@ -130,9 +130,15 @@ class GNNDecoder(nn.Module):
         state = NodeStates(check=x_c * check_mask[:, None], qubit=x_q)
 
         # --- R message rounds under scan ---------------------------------
+        if cfg.backend == "fused":
+            from tpugnn.models.fused_cell import FusedRoundCell
+
+            cell_cls = FusedRoundCell
+        else:
+            cell_cls = RoundCell
         if cfg.weight_tied:
             scan = nn.scan(
-                RoundCell,
+                cell_cls,
                 variable_broadcast="params",
                 split_rngs={"params": False},
                 in_axes=(nn.broadcast, nn.broadcast),
@@ -140,7 +146,7 @@ class GNNDecoder(nn.Module):
             )
         else:
             scan = nn.scan(
-                RoundCell,
+                cell_cls,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 in_axes=(nn.broadcast, nn.broadcast),

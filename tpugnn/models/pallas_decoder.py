@@ -1,0 +1,103 @@
+"""PallasDecoder: inference engine running the fused R-round kernel.
+
+Drop-in for ``GNNDecoder.apply`` (same ``(params, graph, syndrome) ->
+DecoderOutput`` signature, same flax parameter tree as the 'fused' backend),
+but the message-round scan executes inside the single fused Pallas kernel
+(tpugnn.kernels.fused_decoder) — embed and readout stay in XLA where they are
+one GEMM each.  Forward-only: use backend='fused' for training, PallasDecoder
+for decode / Monte-Carlo eval / serving.
+
+Parameter conversion (flax tree -> kernel RoundWeights) happens inside the
+traced function, so it folds into the compiled program at zero runtime cost.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from tpugnn.configs.config import ModelConfig
+from tpugnn.kernels.fused_decoder import RoundWeights, decoder_rounds, make_operators
+from tpugnn.models.decoder import DecoderOutput
+from tpugnn.tanner.graph import TannerGraph
+
+__all__ = ["PallasDecoder", "roundweights_from_flax"]
+
+
+def roundweights_from_flax(rounds: dict) -> RoundWeights:
+    """Map the 'fused'-backend round param subtree to kernel layout."""
+    mc, mq = rounds["msg_to_check"], rounds["msg_to_qubit"]
+    uc0, uc1 = rounds["update_check_d0"], rounds["update_check_d1"]
+    uq0, uq1 = rounds["update_qubit_d0"], rounds["update_qubit_d1"]
+    lnc, lnq = rounds["ln_check"], rounds["ln_qubit"]
+    h = mc["w_dst"].shape[0]
+    r2 = lambda v: v.reshape(1, -1)
+    k0c = uc0["kernel"]  # [2H+1, H]: concat([state, agg, syn])
+    k0q = uq0["kernel"]  # [2H, H]: concat([state, agg])
+    return RoundWeights(
+        wd_c=mc["w_dst"], ws_c=mc["w_src"], b0_c=r2(mc["b0"]),
+        wo_c=mc["w_out"], bo_c=r2(mc["b_out"]),
+        wd_q=mq["w_dst"], ws_q=mq["w_src"], b0_q=r2(mq["b0"]),
+        wo_q=mq["w_out"], bo_q=r2(mq["b_out"]),
+        uc_x=k0c[:h], uc_a=k0c[h : 2 * h], uc_s=k0c[2 * h :],
+        uc_b0=r2(uc0["bias"]), uc_w1=uc1["kernel"], uc_b1=r2(uc1["bias"]),
+        uq_x=k0q[:h], uq_a=k0q[h:], uq_b0=r2(uq0["bias"]),
+        uq_w1=uq1["kernel"], uq_b1=r2(uq1["bias"]),
+        lnc_scale=r2(lnc["scale"]), lnc_bias=r2(lnc["bias"]),
+        lnq_scale=r2(lnq["scale"]), lnq_bias=r2(lnq["bias"]),
+    )
+
+
+def _mlp2(x, p0, p1):
+    return jnp.maximum(x @ p0["kernel"] + p0["bias"], 0.0) @ p1["kernel"] + p1["bias"]
+
+
+class PallasDecoder:
+    """Functional inference twin of GNNDecoder(backend='fused')."""
+
+    def __init__(self, cfg: ModelConfig, k: int, *, interpret: bool | None = None):
+        if not cfg.weight_tied:
+            raise ValueError("PallasDecoder supports weight-tied rounds only")
+        if cfg.aggr != "sum":
+            raise ValueError("PallasDecoder requires aggr='sum'")
+        self.cfg = cfg
+        self.k = k
+        self.interpret = interpret
+
+    def apply(self, params, graph: TannerGraph, syndrome: jnp.ndarray) -> DecoderOutput:
+        cfg = self.cfg
+        p = params["params"]
+        batch = syndrome.shape[0]
+        m_pad, n_pad = graph.n_checks_pad, graph.n_qubits_pad
+        cm, qm = graph.check_mask, graph.qubit_mask
+
+        # --- embed (identical math to GNNDecoder.__call__) ----------------
+        s_pm = (2.0 * syndrome - 1.0) * cm
+        syn_feat = s_pm[..., None]
+        is_x = jnp.broadcast_to(graph.check_is_x, (batch, m_pad))
+        check_in = jnp.stack([s_pm, is_x * cm, (1.0 - is_x) * cm], axis=-1)
+        x_c = _mlp2(check_in, p["embed_check_d0"], p["embed_check_d1"]) * cm[:, None]
+        x_q = jnp.broadcast_to(p["qubit_embed"], (batch, n_pad, cfg.hidden))
+        x_q = x_q * qm[:, None]
+
+        # --- fused kernel rounds ------------------------------------------
+        w = roundweights_from_flax(p["rounds"])
+        ops = make_operators(graph)
+        x_c, x_q = decoder_rounds(
+            x_c, x_q, syn_feat, ops, w,
+            rounds=cfg.rounds, interpret=self.interpret,
+        )
+
+        # --- readout -------------------------------------------------------
+        qubit_logits = None
+        logical_logits = None
+        if cfg.readout in ("per_qubit", "both"):
+            hq = p["head_qubit"]
+            qubit_logits = x_q @ hq["kernel"] + hq["bias"]
+        if cfg.readout in ("logical", "both"):
+            qsum = jnp.sum(x_q * qm[:, None], axis=-2) / graph.n_qubits
+            csum = jnp.sum(x_c * cm[:, None], axis=-2) / graph.n_checks
+            pooled = jnp.concatenate([qsum, csum], axis=-1)
+            logical_logits = _mlp2(pooled, p["head_logical_d0"], p["head_logical_d1"])
+        if qubit_logits is None:
+            qubit_logits = jnp.zeros((batch, n_pad, 2), jnp.float32)
+        return DecoderOutput(qubit_logits=qubit_logits, logical_logits=logical_logits)
