@@ -1,0 +1,5 @@
+"""Classical baseline decoders for LER comparison (SURVEY.md C6)."""
+
+from tpugnn.baselines.union_find import UnionFindDecoder, uf_decode_py
+
+__all__ = ["UnionFindDecoder", "uf_decode_py"]

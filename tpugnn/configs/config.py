@@ -54,6 +54,8 @@ class TrainConfig:
     eval_shots: int = 4096
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 1000
+    metrics_jsonl: Optional[str] = None   # structured metrics sink (JSONL)
+    profile_dir: Optional[str] = None     # jax.profiler trace of steps 10..14
 
 
 @dataclass(frozen=True)

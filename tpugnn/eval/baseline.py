@@ -1,0 +1,64 @@
+"""Monte-Carlo LER for classical baseline decoders (union-find).
+
+Sampling and syndrome extraction stay on device (tpugnn.sampling); syndromes
+cross to the host once per chunk for the native union-find decode, and the
+failure check (residual logical parity) runs in numpy.  Used to put the GNN
+decoder's LER curves in context, mirroring the reference's MWPM comparison
+[SURVEY.md §2.1 C6].
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from tpugnn.baselines.union_find import UnionFindDecoder
+from tpugnn.sampling.noise import sample_batch
+from tpugnn.tanner.graph import TannerGraph
+
+__all__ = ["ler_union_find"]
+
+
+def ler_union_find(
+    graph: TannerGraph,
+    *,
+    p: float,
+    shots: int,
+    batch: int = 4096,
+    key: jax.Array | None = None,
+    force_python: bool = False,
+) -> dict[str, float]:
+    key = key if key is not None else jax.random.PRNGKey(0)
+    dec = UnionFindDecoder(graph, force_python=force_python)
+    n = graph.n_qubits
+    hx = np.asarray(graph.h_syn_ez)[: graph.n_checks, :n]   # X-type rows
+    hz = np.asarray(graph.h_syn_ex)[: graph.n_checks, :n]   # Z-type rows
+    lx = np.asarray(graph.logicals_x)[:, :n]
+    lz = np.asarray(graph.logicals_z)[:, :n]
+
+    fails = 0
+    syn_mismatch = 0
+    total = 0
+    n_chunks = max(1, (shots + batch - 1) // batch)
+    for _ in range(n_chunks):
+        key, sub = jax.random.split(key)
+        b = sample_batch(sub, graph, p, batch)
+        ex = np.asarray(b.ex)[:, :n].astype(np.uint8)
+        ez = np.asarray(b.ez)[:, :n].astype(np.uint8)
+        ex_hat, ez_hat = dec.decode(np.asarray(b.syndrome))
+        rx = (ex ^ ex_hat) & 1
+        rz = (ez ^ ez_hat) & 1
+        # residual syndrome must vanish (union-find reproduces by design)
+        sm = ((rx @ hz.T) % 2).any(axis=1) | ((rz @ hx.T) % 2).any(axis=1)
+        lf = ((rx @ lz.T) % 2).any(axis=1) | ((rz @ lx.T) % 2).any(axis=1)
+        fails += int(np.sum(sm | lf))
+        syn_mismatch += int(np.sum(sm))
+        total += batch
+    ler = fails / total
+    return {
+        "ler": ler,
+        "ler_stderr": (max(ler * (1 - ler), 1e-12) / total) ** 0.5,
+        "syn_mismatch_rate": syn_mismatch / total,
+        "shots": float(total),
+        "decoder": "union_find",
+    }

@@ -92,69 +92,100 @@ def make_operators(graph):
 
 
 def _ln(x, scale, bias):
+    x = x.astype(jnp.float32)
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
     return (x - mu) * jax.lax.rsqrt(var + 1e-6) * scale + bias
 
 
-def _dot(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+def _make_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt):
+    """Batch-tiled kernel; activations laid out [rows, TB, F] so every GEMM
+    contracts over a full [rows*TB, F] or [rows, TB*F] panel (MXU-friendly).
 
+    ``cdt`` is the compute dtype (bf16 by default, f32 accumulation via
+    preferred_element_type); LayerNorm statistics run in f32.
+    """
 
-def _make_kernel(M, N, Dc, Dq, H, MH, R):
+    def dot2(a, b):
+        # a: [rows, TB, K] x b: [K, F] -> [rows, TB, F]
+        r = jnp.dot(
+            a.reshape(-1, a.shape[-1]), b, preferred_element_type=jnp.float32
+        )
+        return r.reshape(a.shape[0], a.shape[1], b.shape[-1])
+
+    def gdot(g, y):
+        # g: [slots, rows] x y: [rows, TB, F] -> [slots, TB, F]
+        r = jnp.dot(
+            g, y.reshape(y.shape[0], -1), preferred_element_type=jnp.float32
+        )
+        return r.reshape(g.shape[0], y.shape[1], y.shape[2])
+
     def kernel(
         xc_ref, xq_ref, syn_ref,
         g_c_ref, mask_c_ref, deg_c_ref, g_q_ref, mask_q_ref, deg_q_ref,
         *w_refs,
     ):
         out_xc_ref, out_xq_ref = w_refs[-2:]
-        w = RoundWeights(*[r[:] for r in w_refs[:-2]])
-        xc0 = xc_ref[0]     # [M, H]
-        xq0 = xq_ref[0]     # [N, H]
-        syn = syn_ref[0]    # [M, 1]
-        g_c = g_c_ref[:]
-        g_q = g_q_ref[:]
-        mask_c = mask_c_ref[:]
-        mask_q = mask_q_ref[:]
-        deg_c = deg_c_ref[:]
-        deg_q = deg_q_ref[:]
+        w = RoundWeights(*[r[:].astype(cdt) for r in w_refs[:-2]])
+        xc0 = xc_ref[0].astype(cdt)     # [M, TB, H]
+        xq0 = xq_ref[0].astype(cdt)     # [N, TB, H]
+        syn = syn_ref[0].astype(cdt)    # [M, TB, 1]
+        g_c = g_c_ref[:].astype(cdt)    # [M*Dc, N]
+        g_q = g_q_ref[:].astype(cdt)    # [N*Dq, M]
+        mask_c = mask_c_ref[:].astype(cdt)   # [M*Dc, 1, 1] (pre-reshaped)
+        mask_q = mask_q_ref[:].astype(cdt)
+        deg_c = deg_c_ref[:].astype(cdt)     # [M, 1, 1]
+        deg_q = deg_q_ref[:].astype(cdt)
 
         def round_body(_, carry):
             xc, xq = carry
             # --- messages into checks (src = qubits) ---------------------
-            yd = _dot(xc, w.wd_c)                       # [M, MH]
-            ys = _dot(xq, w.ws_c)                       # [N, MH]
-            zs = _dot(g_c, ys)                          # [M*Dc, MH] slot src
-            zd = jnp.broadcast_to(yd[:, None, :], (M, Dc, MH)).reshape(M * Dc, MH)
+            yd = dot2(xc, w.wd_c).astype(cdt)            # [M, TB, MH]
+            ys = dot2(xq, w.ws_c).astype(cdt)            # [N, TB, MH]
+            zs = gdot(g_c, ys).astype(cdt)               # [M*Dc, TB, MH]
+            zd = jnp.broadcast_to(
+                yd[:, None, :, :], (M, Dc, TB, MH)
+            ).reshape(M * Dc, TB, MH)
             z = jax.nn.relu(zs + zd + w.b0_c) * mask_c
-            hs = jnp.sum(z.reshape(M, Dc, MH), axis=1)  # [M, MH]
-            agg_c = _dot(hs, w.wo_c) + deg_c * w.bo_c   # [M, H]
+            hs = jnp.sum(z.reshape(M, Dc, TB, MH), axis=1)  # [M, TB, MH]
+            agg_c = dot2(hs, w.wo_c) + deg_c * w.bo_c       # [M, TB, H] f32
             # --- messages into qubits (src = checks) ---------------------
-            yd2 = _dot(xq, w.wd_q)                      # [N, MH]
-            ys2 = _dot(xc, w.ws_q)                      # [M, MH]
-            zs2 = _dot(g_q, ys2)                        # [N*Dq, MH]
-            zd2 = jnp.broadcast_to(yd2[:, None, :], (N, Dq, MH)).reshape(N * Dq, MH)
+            yd2 = dot2(xq, w.wd_q).astype(cdt)
+            ys2 = dot2(xc, w.ws_q).astype(cdt)
+            zs2 = gdot(g_q, ys2).astype(cdt)
+            zd2 = jnp.broadcast_to(
+                yd2[:, None, :, :], (N, Dq, TB, MH)
+            ).reshape(N * Dq, TB, MH)
             z2 = jax.nn.relu(zs2 + zd2 + w.b0_q) * mask_q
-            hs2 = jnp.sum(z2.reshape(N, Dq, MH), axis=1)
-            agg_q = _dot(hs2, w.wo_q) + deg_q * w.bo_q  # [N, H]
+            hs2 = jnp.sum(z2.reshape(N, Dq, TB, MH), axis=1)
+            agg_q = dot2(hs2, w.wo_q) + deg_q * w.bo_q
             # --- updates (residual MLP + LayerNorm) ----------------------
             hc = jax.nn.relu(
-                _dot(xc, w.uc_x) + _dot(agg_c, w.uc_a) + syn * w.uc_s + w.uc_b0
-            )
-            xc_new = _ln(xc + _dot(hc, w.uc_w1) + w.uc_b1, w.lnc_scale, w.lnc_bias)
-            hq = jax.nn.relu(_dot(xq, w.uq_x) + _dot(agg_q, w.uq_a) + w.uq_b0)
-            xq_new = _ln(xq + _dot(hq, w.uq_w1) + w.uq_b1, w.lnq_scale, w.lnq_bias)
+                dot2(xc, w.uc_x) + dot2(agg_c.astype(cdt), w.uc_a)
+                + syn * w.uc_s + w.uc_b0
+            ).astype(cdt)
+            xc_new = _ln(
+                xc.astype(jnp.float32) + dot2(hc, w.uc_w1) + w.uc_b1,
+                w.lnc_scale.astype(jnp.float32), w.lnc_bias.astype(jnp.float32),
+            ).astype(cdt)
+            hq = jax.nn.relu(
+                dot2(xq, w.uq_x) + dot2(agg_q.astype(cdt), w.uq_a) + w.uq_b0
+            ).astype(cdt)
+            xq_new = _ln(
+                xq.astype(jnp.float32) + dot2(hq, w.uq_w1) + w.uq_b1,
+                w.lnq_scale.astype(jnp.float32), w.lnq_bias.astype(jnp.float32),
+            ).astype(cdt)
             return xc_new, xq_new
 
         xc, xq = jax.lax.fori_loop(0, R, round_body, (xc0, xq0))
-        out_xc_ref[0] = xc
-        out_xq_ref[0] = xq
+        out_xc_ref[0] = xc.astype(jnp.float32)
+        out_xq_ref[0] = xq.astype(jnp.float32)
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rounds", "interpret")
+    jax.jit, static_argnames=("rounds", "interpret", "block_batch", "compute_dtype")
 )
 def decoder_rounds(
     xc0: jnp.ndarray,     # [B, M, H]
@@ -165,8 +196,16 @@ def decoder_rounds(
     *,
     rounds: int,
     interpret: bool | None = None,
+    block_batch: int = 8,
+    compute_dtype: str = "bfloat16",
 ):
-    """Run R fused message rounds; returns (xc_final, xq_final)."""
+    """Run R fused message rounds; returns (xc_final, xq_final) in f32.
+
+    The batch is tiled by ``block_batch``; within a tile activations are laid
+    out [rows, TB, F] so the kernel's GEMMs contract full [rows, TB*F]
+    panels.  ``compute_dtype`` selects bf16 (default, f32 accumulation) or
+    f32 compute.
+    """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, m, h = xc0.shape
@@ -175,14 +214,41 @@ def decoder_rounds(
     dc = g_c.shape[0] // m
     dq = g_q.shape[0] // n
     mh = weights.wd_c.shape[1]
+    cdt = jnp.dtype(compute_dtype)
+    # auto-size the batch tile to the ~16MB VMEM budget: the three slot-wide
+    # tensors (zs, zd, z) dominate at ~3.5 * slots * TB * MH * itemsize
+    slots = max(g_c.shape[0], g_q.shape[0])
+    budget = 10 * 1024 * 1024
+    tb = block_batch
+    while tb > 1 and 3.5 * slots * tb * mh * cdt.itemsize > budget:
+        tb //= 2
+    while b % tb:
+        tb //= 2
+    tb = max(tb, 1)
+    nblk = b // tb
 
-    kernel = _make_kernel(m, n, dc, dq, h, mh, rounds)
+    # [B, rows, F] -> [nblk, rows, TB, F] (XLA transpose, amortized once)
+    def to_tiles(x, rows, f):
+        return x.reshape(nblk, tb, rows, f).transpose(0, 2, 1, 3)
+
+    xc_t = to_tiles(xc0.astype(jnp.float32), m, h)
+    xq_t = to_tiles(xq0.astype(jnp.float32), n, h)
+    syn_t = to_tiles(syn.astype(jnp.float32), m, 1)
+
+    # masks/degrees pre-reshaped to 3-D in f32 (bf16 minor-dim reshapes are
+    # unsupported by Mosaic; the kernel casts after load)
+    mask_c = mask_c.reshape(-1, 1, 1)
+    mask_q = mask_q.reshape(-1, 1, 1)
+    deg_c = deg_c.reshape(-1, 1, 1)
+    deg_q = deg_q.reshape(-1, 1, 1)
+
+    kernel = _make_kernel(m, n, dc, dq, h, mh, rounds, tb, cdt)
 
     def full(a):
         return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM)
 
-    sample_spec = lambda rows, f: pl.BlockSpec(
-        (1, rows, f), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    tile_spec = lambda rows, f: pl.BlockSpec(
+        (1, rows, tb, f), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
 
     ops = (g_c, mask_c, deg_c, g_q, mask_q, deg_q)
@@ -190,22 +256,22 @@ def decoder_rounds(
         m * h * mh + n * h * mh + m * dc * n * mh + n * h * mh + m * h * mh
         + n * dq * m * mh + m * mh * h + n * mh * h + 4 * m * h * h + 4 * n * h * h
     )
-    out = pl.pallas_call(
+    xc_o, xq_o = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((b, m, h), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, h), jnp.float32),
+            jax.ShapeDtypeStruct((nblk, m, tb, h), jnp.float32),
+            jax.ShapeDtypeStruct((nblk, n, tb, h), jnp.float32),
         ),
         grid_spec=pl.GridSpec(
-            grid=(b,),
+            grid=(nblk,),
             in_specs=[
-                sample_spec(m, h),
-                sample_spec(n, h),
-                sample_spec(m, 1),
+                tile_spec(m, h),
+                tile_spec(n, h),
+                tile_spec(m, 1),
                 *[full(o) for o in ops],
                 *[full(x) for x in weights],
             ],
-            out_specs=(sample_spec(m, h), sample_spec(n, h)),
+            out_specs=(tile_spec(m, h), tile_spec(n, h)),
         ),
         cost_estimate=pl.CostEstimate(
             flops=b * rounds * flops_round,
@@ -213,8 +279,9 @@ def decoder_rounds(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(
-        xc0.astype(jnp.float32), xq0.astype(jnp.float32), syn.astype(jnp.float32),
-        *ops, *weights,
-    )
-    return out
+    )(xc_t, xq_t, syn_t, *ops, *weights)
+
+    def from_tiles(x, rows, f):
+        return x.transpose(0, 2, 1, 3).reshape(b, rows, f)
+
+    return from_tiles(xc_o, m, h), from_tiles(xq_o, n, h)

@@ -85,6 +85,7 @@ class PallasDecoder:
         x_c, x_q = decoder_rounds(
             x_c, x_q, syn_feat, ops, w,
             rounds=cfg.rounds, interpret=self.interpret,
+            compute_dtype=cfg.dtype,
         )
 
         # --- readout -------------------------------------------------------

@@ -142,9 +142,21 @@ def train(cfg: ExperimentConfig, *, graph: TannerGraph | None = None, log=print)
             state = restored
             log(f"restored checkpoint at step {int(state.step)}")
 
+    from tpugnn.utils.metrics import MetricLogger
+
+    jl = (
+        MetricLogger(cfg.train.metrics_jsonl, stdout=False)
+        if cfg.train.metrics_jsonl
+        else None
+    )
     start = int(state.step)
     for i in range(start, cfg.train.steps):
+        if cfg.train.profile_dir and i == 10:
+            jax.profiler.start_trace(cfg.train.profile_dir)
         state, metrics = step_fn(state, graph)
+        if cfg.train.profile_dir and i == 14:
+            jax.block_until_ready(metrics["loss"])
+            jax.profiler.stop_trace()
         if (i + 1) % max(1, cfg.train.eval_every) == 0 or i + 1 == cfg.train.steps:
             m = {k: float(v) for k, v in metrics.items()}
             ev = ler_monte_carlo(
@@ -160,6 +172,8 @@ def train(cfg: ExperimentConfig, *, graph: TannerGraph | None = None, log=print)
             if "ler_logical" in ev:
                 m["ler_logical"] = ev["ler_logical"]
             history.append(m)
+            if jl is not None:
+                jl.log(m)
             log(
                 f"step {i + 1}: loss={m['loss']:.4f} ler={m['ler']:.4f}"
                 + (f" ler_logical={m['ler_logical']:.4f}" if "ler_logical" in m else "")

@@ -32,13 +32,34 @@ def _as_f2(a: np.ndarray) -> np.ndarray:
     return a
 
 
+def _native():
+    """The C++ packed-GF(2) library, or None (csrc/f2.cpp via ctypes)."""
+    try:
+        from tpugnn.utils.native import load
+
+        return load()
+    except Exception:
+        return None
+
+
 def row_reduce(a: np.ndarray) -> tuple[np.ndarray, list[int]]:
     """Row-reduce ``a`` over GF(2).
 
     Returns ``(R, pivots)`` where ``R`` is in reduced row-echelon form and
     ``pivots[i]`` is the pivot column of row ``i`` (rows beyond ``len(pivots)``
-    are zero).
+    are zero).  Dispatches to the packed-word C++ routine when built
+    (64x fewer row-op instructions; matters for d >= 25 graph builds).
     """
+    lib = _native()
+    if lib is not None and a.size:
+        r = np.ascontiguousarray(_as_f2(a).copy())
+        pivots = np.zeros(min(r.shape), np.int32)
+        rk = lib.f2_row_reduce(r, r.shape[0], r.shape[1], pivots)
+        return r, pivots[:rk].tolist()
+    return _row_reduce_py(a)
+
+
+def _row_reduce_py(a: np.ndarray) -> tuple[np.ndarray, list[int]]:
     r = _as_f2(a).copy()
     m, n = r.shape
     pivots: list[int] = []
@@ -62,7 +83,11 @@ def row_reduce(a: np.ndarray) -> tuple[np.ndarray, list[int]]:
 
 
 def rank(a: np.ndarray) -> int:
-    _, pivots = row_reduce(a)
+    lib = _native()
+    if lib is not None and a.size:
+        m = np.ascontiguousarray(_as_f2(a))
+        return lib.f2_rank(m, m.shape[0], m.shape[1])
+    _, pivots = _row_reduce_py(a)
     return len(pivots)
 
 
@@ -70,7 +95,17 @@ def nullspace(a: np.ndarray) -> np.ndarray:
     """Basis of the right nullspace of ``a`` over GF(2), shape [k, n]."""
     a = _as_f2(a)
     m, n = a.shape
-    r, pivots = row_reduce(a)
+    lib = _native()
+    if lib is not None and a.size:
+        am = np.ascontiguousarray(a)
+        out = np.zeros((n, n), np.uint8)
+        k = lib.f2_nullspace(am, m, n, out)
+        basis = out[:k].copy()
+        if basis.size:
+            chk = (basis @ a.T) % 2
+            assert not chk.any(), "native nullspace verification failed"
+        return basis
+    r, pivots = _row_reduce_py(a)
     free = [c for c in range(n) if c not in pivots]
     basis = np.zeros((len(free), n), dtype=np.uint8)
     for i, fc in enumerate(free):
@@ -133,6 +168,13 @@ def _solve(a: np.ndarray, b: np.ndarray) -> np.ndarray | None:
     """One solution x of a @ x = b over GF(2), or None if inconsistent."""
     a = _as_f2(a)
     m, n = a.shape
+    lib = _native()
+    if lib is not None and a.size:
+        am = np.ascontiguousarray(a)
+        bv = np.ascontiguousarray(np.asarray(b, np.uint8).reshape(m) % 2)
+        x = np.zeros(n, np.uint8)
+        ok = lib.f2_solve(am, bv, m, n, x)
+        return x if ok else None
     aug = np.hstack([a, np.asarray(b, dtype=np.uint8).reshape(m, 1)])
     r, pivots = row_reduce(aug)
     if n in pivots:  # pivot in the augmented column -> inconsistent
