@@ -55,14 +55,26 @@ def bench_backend(backend: str, *, d: int, batch: int, rounds: int, hidden: int,
     graph = build_code("surface", d)
     cfg = ModelConfig(hidden=hidden, msg_hidden=hidden, rounds=rounds,
                       backend=backend, readout="per_qubit", dtype="bfloat16")
-    model = GNNDecoder(cfg, k=graph.k)
+    # params come from the 'fused' layout so every backend (incl. the
+    # Pallas kernel decoder) shares one parameter tree
+    init_cfg = cfg if backend != "pallas" else ModelConfig(
+        hidden=hidden, msg_hidden=hidden, rounds=rounds,
+        backend="fused", readout="per_qubit", dtype="bfloat16")
+    model = GNNDecoder(init_cfg, k=graph.k)
     key = jax.random.PRNGKey(0)
     params = model.init(key, graph, jnp.zeros((2, graph.n_checks_pad)))
     b = sample_batch(key, graph, 0.05, batch)
 
+    if backend == "pallas":
+        from tpugnn.models.pallas_decoder import PallasDecoder
+
+        apply_fn = PallasDecoder(init_cfg, k=graph.k).apply
+    else:
+        apply_fn = model.apply
+
     @jax.jit
     def decode(params, syndrome):
-        out = model.apply(params, graph, syndrome)
+        out = apply_fn(params, graph, syndrome)
         return decode_corrections(out.qubit_logits)
 
     t = _time_fn(decode, params, b.syndrome, iters=iters)
@@ -72,6 +84,8 @@ def bench_backend(backend: str, *, d: int, batch: int, rounds: int, hidden: int,
         "step_time_s": t,
         "edges_per_s": edges / t,
         "n_edges": graph.n_edges,
+        "m_pad": graph.n_checks_pad,
+        "n_pad": graph.n_qubits_pad,
     }
 
 
@@ -126,6 +140,17 @@ def main() -> int:
         "platform": jax.default_backend(),
         "all_backends": {k: round(v["edges_per_s"], 1) for k, v in results.items()},
     }
+    try:
+        from benchmarks.roofline import fused_decode_cost
+
+        cost = fused_decode_cost(
+            batch=args.batch, m_pad=best["m_pad"], n_pad=best["n_pad"],
+            deg_c=4, deg_q=4, hidden=args.hidden, msg_hidden=args.hidden,
+            rounds=args.rounds,
+        )
+        line["pct_sol"] = round(cost.pct_sol(best["step_time_s"]), 1)
+    except Exception:
+        pass
     print(json.dumps(line))
     return 0
 

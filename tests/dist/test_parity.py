@@ -76,3 +76,27 @@ def test_dryrun_all_device_counts(n, devices8):
     from tpugnn.dist import dryrun
 
     dryrun(n)
+
+
+def test_halo_modes_agree(devices8):
+    """gather and boundary-only all_to_all halo exchanges are equivalent."""
+    from tpugnn.dist.partition import partition_graph
+    from tpugnn.tanner import build_code
+
+    graph = build_code("toric", 3, pad_nodes=32)
+    mesh = make_mesh(MeshConfig(data=1, graph=4), n_devices=4)
+    cfg = ModelConfig(hidden=16, msg_hidden=16, rounds=3)
+    model = GNNDecoder(cfg, k=graph.k)
+    b = sample_batch(jax.random.PRNGKey(0), graph, 0.1, 8)
+    params = model.init(jax.random.PRNGKey(1), graph, b.syndrome)
+    outs = []
+    for halo in ("gather", "alltoall"):
+        pg = partition_graph(graph, 4, halo=halo)
+        apply = make_sharded_apply(model, mesh, pg)
+        outs.append(jax.jit(apply)(params, graph, b.syndrome))
+    np.testing.assert_allclose(
+        np.asarray(outs[0].qubit_logits), np.asarray(outs[1].qubit_logits), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[0].logical_logits), np.asarray(outs[1].logical_logits), atol=1e-5
+    )

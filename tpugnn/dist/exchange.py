@@ -85,6 +85,69 @@ def sharded_propagate(
     return out
 
 
+def _halo_exchange(x_local, send_idx, send_mask, axis):
+    """Boundary-only feature exchange: [..., rows, F] -> [..., P*H, F].
+
+    Gathers the rows each peer needs (static per-pair tables from
+    tpugnn.dist.partition), all_to_alls the [P, H, F] buffer over the graph
+    axis (ICI), and returns the flattened halo receive buffer.
+    """
+    p, h = send_idx.shape
+    send = jnp.take(x_local, send_idx.reshape(-1), axis=-2)
+    send = send * send_mask.reshape(-1)[:, None]
+    send = send.reshape(send.shape[:-2] + (p, h, send.shape[-1]))
+    ax_pos = send.ndim - 3
+    recv = jax.lax.all_to_all(send, axis, split_axis=ax_pos, concat_axis=ax_pos)
+    return recv.reshape(recv.shape[:-3] + (p * h, recv.shape[-1]))
+
+
+def _alltoall_round(view, state, message_to_qubit, message_to_check,
+                    update_check, update_qubit, aggr):
+    """Boundary-only halo exchange with interior/boundary overlap.
+
+    The all_to_all consumes only boundary node features; interior messages
+    depend solely on local data, so XLA schedules the collective
+    asynchronously against the interior aggregation (SURVEY.md §7 hard-part
+    #3 — verify in the profiler, not by assumption).
+    """
+    from tpugnn.mp.propagate import NodeStates
+
+    ax = view.mesh_axis
+    # kick off both exchanges first so they overlap interior compute
+    q_halo = _halo_exchange(state.qubit, view.qsend_idx, view.qsend_mask, ax)
+    c_halo = _halo_exchange(state.check, view.csend_idx, view.csend_mask, ax)
+
+    # interior (purely local)
+    xc_i = jnp.take(state.check, view.ci_dst, axis=-2)
+    xq_i = jnp.take(state.qubit, view.ci_src, axis=-2)
+    m_ci = message_to_check(xc_i, xq_i, None) * view.ci_mask[:, None]
+    agg_c = _segment(m_ci, view.ci_dst, view.n_checks_pad, "sum", view.check_deg)
+
+    xq_i2 = jnp.take(state.qubit, view.qi_dst, axis=-2)
+    xc_i2 = jnp.take(state.check, view.qi_src, axis=-2)
+    m_qi = message_to_qubit(xc_i2, xq_i2, None) * view.qi_mask[:, None]
+    agg_q = _segment(m_qi, view.qi_dst, view.n_qubits_pad, "sum", view.qubit_deg)
+
+    # boundary (consumes the halo buffers)
+    xc_b = jnp.take(state.check, view.cb_dst, axis=-2)
+    xq_b = jnp.take(q_halo, view.cb_src, axis=-2)
+    m_cb = message_to_check(xc_b, xq_b, None) * view.cb_mask[:, None]
+    agg_c = agg_c + _segment(m_cb, view.cb_dst, view.n_checks_pad, "sum", view.check_deg)
+
+    xq_b2 = jnp.take(state.qubit, view.qb_dst, axis=-2)
+    xc_b2 = jnp.take(c_halo, view.qb_src, axis=-2)
+    m_qb = message_to_qubit(xc_b2, xq_b2, None) * view.qb_mask[:, None]
+    agg_q = agg_q + _segment(m_qb, view.qb_dst, view.n_qubits_pad, "sum", view.qubit_deg)
+
+    if aggr == "mean":
+        agg_c = agg_c / view.check_deg[:, None]
+        agg_q = agg_q / view.qubit_deg[:, None]
+    return NodeStates(
+        check=update_check(state.check, agg_c),
+        qubit=update_qubit(state.qubit, agg_q),
+    )
+
+
 def sharded_bipartite_round(
     view: LocalGraphView,
     state,
@@ -102,9 +165,19 @@ def sharded_bipartite_round(
     message MLP on its own destination-owned edge replica, so messages are
     computed once per (edge, direction) — same results, and the halo
     exchange stays feature-only.
+
+    ``view.halo`` selects the exchange strategy: 'alltoall' sends only
+    boundary node features (all_to_all over ICI, overlapped with interior
+    aggregation); 'gather' all_gathers full node blocks (simple fallback;
+    also used for max aggregation).
     """
     if edge_attr is not None:
         raise NotImplementedError("edge_attr is not supported on the sharded path yet")
+    if view.halo == "alltoall" and aggr in ("sum", "mean"):
+        return _alltoall_round(
+            view, state, message_to_qubit, message_to_check,
+            update_check, update_qubit, aggr,
+        )
     ax = view.mesh_axis
     xq_all = jax.lax.all_gather(state.qubit, ax, axis=-2, tiled=True)
     xc_all = jax.lax.all_gather(state.check, ax, axis=-2, tiled=True)

@@ -70,6 +70,31 @@ class LocalGraphView:
     check_deg: jnp.ndarray   # f32[mb]
     qubit_deg: jnp.ndarray   # f32[nb]
 
+    # --- boundary-only all_to_all halo tables (halo='alltoall') ----------
+    # check-direction: interior edges (src qubit local) / boundary edges
+    # (src indexes the [P*Hq] halo recv buffer); qsend_* are the qubit rows
+    # this shard sends to each peer.
+    halo: str = struct.field(pytree_node=False, default="gather")
+    hq: int = struct.field(pytree_node=False, default=0)  # qubit halo width
+    hc: int = struct.field(pytree_node=False, default=0)  # check halo width
+    ci_dst: jnp.ndarray | None = None   # i32[Eci]
+    ci_src: jnp.ndarray | None = None   # i32[Eci] LOCAL qubit index
+    ci_mask: jnp.ndarray | None = None
+    cb_dst: jnp.ndarray | None = None   # i32[Ecb]
+    cb_src: jnp.ndarray | None = None   # i32[Ecb] halo-buffer index
+    cb_mask: jnp.ndarray | None = None
+    qsend_idx: jnp.ndarray | None = None   # i32[P, Hq] local qubit rows to send
+    qsend_mask: jnp.ndarray | None = None  # f32[P, Hq]
+    # qubit-direction twins
+    qi_dst: jnp.ndarray | None = None
+    qi_src: jnp.ndarray | None = None   # LOCAL check index
+    qi_mask: jnp.ndarray | None = None
+    qb_dst: jnp.ndarray | None = None
+    qb_src: jnp.ndarray | None = None
+    qb_mask: jnp.ndarray | None = None
+    csend_idx: jnp.ndarray | None = None
+    csend_mask: jnp.ndarray | None = None
+
 
 @struct.dataclass
 class PartitionedGraph:
@@ -100,9 +125,30 @@ class PartitionedGraph:
     check_deg: jnp.ndarray
     qubit_deg: jnp.ndarray
 
+    # boundary-only all_to_all halo tables (see LocalGraphView)
+    halo: str = struct.field(pytree_node=False, default="gather")
+    hq: int = struct.field(pytree_node=False, default=0)
+    hc: int = struct.field(pytree_node=False, default=0)
+    ci_dst: jnp.ndarray | None = None
+    ci_src: jnp.ndarray | None = None
+    ci_mask: jnp.ndarray | None = None
+    cb_dst: jnp.ndarray | None = None
+    cb_src: jnp.ndarray | None = None
+    cb_mask: jnp.ndarray | None = None
+    qsend_idx: jnp.ndarray | None = None
+    qsend_mask: jnp.ndarray | None = None
+    qi_dst: jnp.ndarray | None = None
+    qi_src: jnp.ndarray | None = None
+    qi_mask: jnp.ndarray | None = None
+    qb_dst: jnp.ndarray | None = None
+    qb_src: jnp.ndarray | None = None
+    qb_mask: jnp.ndarray | None = None
+    csend_idx: jnp.ndarray | None = None
+    csend_mask: jnp.ndarray | None = None
+
     def local(self) -> LocalGraphView:
         """Squeeze the shard axis (call inside shard_map, where P-slice = 1)."""
-        sq = lambda a: a[0]
+        sq = lambda a: None if a is None else a[0]
         return LocalGraphView(
             name=self.name, mesh_axis=self.mesh_axis,
             n_checks_pad=self.mb, n_qubits_pad=self.nb,
@@ -112,12 +158,74 @@ class PartitionedGraph:
             check_mask=sq(self.check_mask), qubit_mask=sq(self.qubit_mask),
             check_is_x=sq(self.check_is_x),
             check_deg=sq(self.check_deg), qubit_deg=sq(self.qubit_deg),
+            halo=self.halo, hq=self.hq, hc=self.hc,
+            ci_dst=sq(self.ci_dst), ci_src=sq(self.ci_src), ci_mask=sq(self.ci_mask),
+            cb_dst=sq(self.cb_dst), cb_src=sq(self.cb_src), cb_mask=sq(self.cb_mask),
+            qsend_idx=sq(self.qsend_idx), qsend_mask=sq(self.qsend_mask),
+            qi_dst=sq(self.qi_dst), qi_src=sq(self.qi_src), qi_mask=sq(self.qi_mask),
+            qb_dst=sq(self.qb_dst), qb_src=sq(self.qb_src), qb_mask=sq(self.qb_mask),
+            csend_idx=sq(self.csend_idx), csend_mask=sq(self.csend_mask),
         )
+
+
+def _halo_tables(dst, src, n_parts, dst_block, src_block, pad=8):
+    """Interior/boundary edge split + per-peer send tables for one direction.
+
+    Edges are owned by the destination's shard; an edge is *interior* when
+    its source row is also local, *boundary* otherwise.  Boundary sources
+    are deduplicated per (receiver, sender) pair and assigned halo slots;
+    the receiver's halo buffer is laid out [P_senders, H] (flattened), so a
+    boundary edge's source index is ``sender * H + slot``.
+    """
+    P = n_parts
+    interior = [[] for _ in range(P)]
+    boundary = [[] for _ in range(P)]   # (dst_local, sender, src_global)
+    needed: dict[tuple[int, int], list[int]] = {}
+    for d, s in zip(dst.tolist(), src.tolist()):
+        p, o = d // dst_block, s // src_block
+        if o == p:
+            interior[p].append((d - p * dst_block, s - p * src_block))
+        else:
+            boundary[p].append((d - p * dst_block, o, s))
+            lst = needed.setdefault((p, o), [])
+            if s not in lst:
+                lst.append(s)
+    h = _round_up(max((len(v) for v in needed.values()), default=1), pad)
+    slot = {
+        (p, o): {s: k for k, s in enumerate(sorted(v))}
+        for (p, o), v in needed.items()
+    }
+    send_idx = np.zeros((P, P, h), np.int32)
+    send_mask = np.zeros((P, P, h), np.float32)
+    for (p, o), v in needed.items():
+        for s, k in slot[(p, o)].items():
+            send_idx[o, p, k] = s - o * src_block
+            send_mask[o, p, k] = 1.0
+    ei = _round_up(max((len(x) for x in interior), default=1) or 1, pad)
+    eb = _round_up(max((len(x) for x in boundary), default=1) or 1, pad)
+    i_dst = np.full((P, ei), dst_block - 1, np.int32)
+    i_src = np.full((P, ei), src_block - 1, np.int32)
+    i_mask = np.zeros((P, ei), np.float32)
+    b_dst = np.full((P, eb), dst_block - 1, np.int32)
+    b_src = np.zeros((P, eb), np.int32)
+    b_mask = np.zeros((P, eb), np.float32)
+    for p in range(P):
+        for j, (dl, sl) in enumerate(interior[p]):
+            i_dst[p, j], i_src[p, j], i_mask[p, j] = dl, sl, 1.0
+        for j, (dl, o, s) in enumerate(boundary[p]):
+            b_dst[p, j] = dl
+            b_src[p, j] = o * h + slot[(p, o)][s]
+            b_mask[p, j] = 1.0
+    return (
+        jnp.asarray(i_dst), jnp.asarray(i_src), jnp.asarray(i_mask),
+        jnp.asarray(b_dst), jnp.asarray(b_src), jnp.asarray(b_mask),
+        jnp.asarray(send_idx), jnp.asarray(send_mask), h,
+    )
 
 
 def partition_graph(
     graph: TannerGraph, n_parts: int, *, mesh_axis: str = "graph",
-    pad_edges: int = 128,
+    pad_edges: int = 128, halo: str = "alltoall",
 ) -> PartitionedGraph:
     """Partition a built TannerGraph into ``n_parts`` contiguous node blocks.
 
@@ -159,6 +267,26 @@ def partition_graph(
     def blocks(x, block):
         return np.asarray(x).reshape(n_parts, block)
 
+    halo_fields: dict = {"halo": halo}
+    if halo == "alltoall":
+        (ci_d, ci_s, ci_m, cb_d, cb_s, cb_m, qs_i, qs_m, hq) = _halo_tables(
+            ec, eq, n_parts, mb, nb
+        )
+        (qi_d, qi_s, qi_m, qb_d, qb_s, qb_m, cs_i, cs_m, hc) = _halo_tables(
+            eq, ec, n_parts, nb, mb
+        )
+        halo_fields.update(
+            hq=hq, hc=hc,
+            ci_dst=ci_d, ci_src=ci_s, ci_mask=ci_m,
+            cb_dst=cb_d, cb_src=cb_s, cb_mask=cb_m,
+            qsend_idx=qs_i, qsend_mask=qs_m,
+            qi_dst=qi_d, qi_src=qi_s, qi_mask=qi_m,
+            qb_dst=qb_d, qb_src=qb_s, qb_mask=qb_m,
+            csend_idx=cs_i, csend_mask=cs_m,
+        )
+    elif halo != "gather":
+        raise ValueError(f"unknown halo mode {halo!r}; have 'gather'|'alltoall'")
+
     return PartitionedGraph(
         name=graph.name + f"_p{n_parts}", n_parts=n_parts, mesh_axis=mesh_axis,
         mb=mb, nb=nb, ec_pad=ec_pad, eq_pad=eq_pad,
@@ -170,6 +298,7 @@ def partition_graph(
         check_is_x=jnp.asarray(blocks(graph.check_is_x, mb)),
         check_deg=jnp.asarray(blocks(graph.check_deg, mb)),
         qubit_deg=jnp.asarray(blocks(graph.qubit_deg, nb)),
+        **halo_fields,
     )
 
 

@@ -121,21 +121,24 @@ def _make_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt):
         return r.reshape(g.shape[0], y.shape[1], y.shape[2])
 
     def kernel(
-        xc_ref, xq_ref, syn_ref,
-        g_c_ref, mask_c_ref, deg_c_ref, g_q_ref, mask_q_ref, deg_q_ref,
+        xc_ref, xq_ref, syn_ucs_ref,
+        g_c_ref, mask_c_ref, degbo_c_ref, g_q_ref, mask_q_ref, degbo_q_ref,
         *w_refs,
     ):
         out_xc_ref, out_xq_ref = w_refs[-2:]
         w = RoundWeights(*[r[:].astype(cdt) for r in w_refs[:-2]])
         xc0 = xc_ref[0].astype(cdt)     # [M, TB, H]
         xq0 = xq_ref[0].astype(cdt)     # [N, TB, H]
-        syn = syn_ref[0].astype(cdt)    # [M, TB, 1]
+        # syndrome-feature term of the check update, pre-multiplied by the
+        # uc_s weight row OUTSIDE the kernel (round-invariant; avoids a
+        # sublane+lane double broadcast Mosaic can't lower in bf16)
+        syn_ucs = syn_ucs_ref[0].astype(cdt)  # [M, TB, H]
         g_c = g_c_ref[:].astype(cdt)    # [M*Dc, N]
         g_q = g_q_ref[:].astype(cdt)    # [N*Dq, M]
-        mask_c = mask_c_ref[:].astype(cdt)   # [M*Dc, 1, 1] (pre-reshaped)
+        mask_c = mask_c_ref[:].astype(cdt)    # [M*Dc, 1, 1] (pre-reshaped)
         mask_q = mask_q_ref[:].astype(cdt)
-        deg_c = deg_c_ref[:].astype(cdt)     # [M, 1, 1]
-        deg_q = deg_q_ref[:].astype(cdt)
+        degbo_c = degbo_c_ref[:]              # [M, 1, H] f32: deg * b_out
+        degbo_q = degbo_q_ref[:]
 
         def round_body(_, carry):
             xc, xq = carry
@@ -148,7 +151,7 @@ def _make_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt):
             ).reshape(M * Dc, TB, MH)
             z = jax.nn.relu(zs + zd + w.b0_c) * mask_c
             hs = jnp.sum(z.reshape(M, Dc, TB, MH), axis=1)  # [M, TB, MH]
-            agg_c = dot2(hs, w.wo_c) + deg_c * w.bo_c       # [M, TB, H] f32
+            agg_c = dot2(hs, w.wo_c) + degbo_c              # [M, TB, H] f32
             # --- messages into qubits (src = checks) ---------------------
             yd2 = dot2(xq, w.wd_q).astype(cdt)
             ys2 = dot2(xc, w.ws_q).astype(cdt)
@@ -158,11 +161,11 @@ def _make_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt):
             ).reshape(N * Dq, TB, MH)
             z2 = jax.nn.relu(zs2 + zd2 + w.b0_q) * mask_q
             hs2 = jnp.sum(z2.reshape(N, Dq, TB, MH), axis=1)
-            agg_q = dot2(hs2, w.wo_q) + deg_q * w.bo_q
+            agg_q = dot2(hs2, w.wo_q) + degbo_q
             # --- updates (residual MLP + LayerNorm) ----------------------
             hc = jax.nn.relu(
                 dot2(xc, w.uc_x) + dot2(agg_c.astype(cdt), w.uc_a)
-                + syn * w.uc_s + w.uc_b0
+                + syn_ucs + w.uc_b0
             ).astype(cdt)
             xc_new = _ln(
                 xc.astype(jnp.float32) + dot2(hc, w.uc_w1) + w.uc_b1,
@@ -215,12 +218,14 @@ def decoder_rounds(
     dq = g_q.shape[0] // n
     mh = weights.wd_c.shape[1]
     cdt = jnp.dtype(compute_dtype)
-    # auto-size the batch tile to the ~16MB VMEM budget: the three slot-wide
-    # tensors (zs, zd, z) dominate at ~3.5 * slots * TB * MH * itemsize
+    # auto-size the batch tile to the 16MB VMEM budget: both directions'
+    # slot-wide tensors (zs/zd/z x 2) plus node panels and double-buffered
+    # IO empirically cost ~9 * slots * TB * MH * itemsize (measured via
+    # Mosaic scoped-vmem OOM reports at d=11)
     slots = max(g_c.shape[0], g_q.shape[0])
     budget = 10 * 1024 * 1024
     tb = block_batch
-    while tb > 1 and 3.5 * slots * tb * mh * cdt.itemsize > budget:
+    while tb > 1 and 9.0 * slots * tb * mh * cdt.itemsize > budget:
         tb //= 2
     while b % tb:
         tb //= 2
@@ -231,16 +236,23 @@ def decoder_rounds(
     def to_tiles(x, rows, f):
         return x.reshape(nblk, tb, rows, f).transpose(0, 2, 1, 3)
 
-    xc_t = to_tiles(xc0.astype(jnp.float32), m, h)
-    xq_t = to_tiles(xq0.astype(jnp.float32), n, h)
-    syn_t = to_tiles(syn.astype(jnp.float32), m, 1)
+    # input tiles travel in the compute dtype (halves the double-buffered
+    # VMEM IO footprint in bf16); outputs stay f32
+    xc_t = to_tiles(xc0.astype(cdt), m, h)
+    xq_t = to_tiles(xq0.astype(cdt), n, h)
+    # syndrome term of the check update, pre-multiplied by uc_s (outer
+    # products with double sublane+lane broadcasts don't lower in bf16)
+    syn_ucs = to_tiles((syn * weights.uc_s[0]).astype(cdt), m, h)
 
-    # masks/degrees pre-reshaped to 3-D in f32 (bf16 minor-dim reshapes are
-    # unsupported by Mosaic; the kernel casts after load)
-    mask_c = mask_c.reshape(-1, 1, 1)
-    mask_q = mask_q.reshape(-1, 1, 1)
-    deg_c = deg_c.reshape(-1, 1, 1)
-    deg_q = deg_q.reshape(-1, 1, 1)
+    # masks pre-reshaped to 3-D in f32 (bf16 minor-dim reshapes are
+    # unsupported by Mosaic; the kernel casts after load); degree x out-bias
+    # folded into one [rows, 1, H] f32 operand
+    # pre-expand masks over the lane (feature) dim so the kernel's multiply
+    # only broadcasts sublanes (bf16 double-broadcasts don't lower)
+    mask_c = jnp.broadcast_to(mask_c.reshape(-1, 1, 1), (g_c.shape[0], 1, mh))
+    mask_q = jnp.broadcast_to(mask_q.reshape(-1, 1, 1), (g_q.shape[0], 1, mh))
+    degbo_c = (deg_c.reshape(-1, 1, 1) * weights.bo_c[0]).astype(jnp.float32)
+    degbo_q = (deg_q.reshape(-1, 1, 1) * weights.bo_q[0]).astype(jnp.float32)
 
     kernel = _make_kernel(m, n, dc, dq, h, mh, rounds, tb, cdt)
 
@@ -251,7 +263,7 @@ def decoder_rounds(
         (1, rows, tb, f), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
 
-    ops = (g_c, mask_c, deg_c, g_q, mask_q, deg_q)
+    ops = (g_c, mask_c, degbo_c, g_q, mask_q, degbo_q)
     flops_round = 2 * (
         m * h * mh + n * h * mh + m * dc * n * mh + n * h * mh + m * h * mh
         + n * dq * m * mh + m * mh * h + n * mh * h + 4 * m * h * h + 4 * n * h * h
@@ -267,7 +279,7 @@ def decoder_rounds(
             in_specs=[
                 tile_spec(m, h),
                 tile_spec(n, h),
-                tile_spec(m, 1),
+                tile_spec(m, h),   # syn_ucs
                 *[full(o) for o in ops],
                 *[full(x) for x in weights],
             ],
@@ -279,7 +291,7 @@ def decoder_rounds(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xc_t, xq_t, syn_t, *ops, *weights)
+    )(xc_t, xq_t, syn_ucs, *ops, *weights)
 
     def from_tiles(x, rows, f):
         return x.transpose(0, 2, 1, 3).reshape(b, rows, f)
