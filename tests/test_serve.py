@@ -1,0 +1,67 @@
+"""DecodeEngine: padding, chunking, checkpoint loading."""
+
+import numpy as np
+import jax
+import pytest
+
+from tpugnn.configs import CodeConfig, ExperimentConfig, ModelConfig, TrainConfig
+from tpugnn.sampling import sample_batch, syndrome
+from tpugnn.serve import DecodeEngine
+from tpugnn.tanner import build_code
+from tpugnn.train import init_state
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = ExperimentConfig(
+        code=CodeConfig(family="surface", distance=3),
+        model=ModelConfig(hidden=16, msg_hidden=16, rounds=2, backend="fused"),
+    )
+    graph = build_code("surface", 3)
+    state, _ = init_state(cfg, graph)
+    return DecodeEngine(cfg, state.params, graph, max_batch=32), graph
+
+
+def test_decode_shapes_and_chunking(engine):
+    eng, graph = engine
+    b = sample_batch(jax.random.PRNGKey(0), graph, 0.08, 80)  # > 2 chunks
+    out = eng.decode(np.asarray(b.syndrome))
+    assert out.shape == (80, graph.n_qubits, 2)
+    assert set(np.unique(out)) <= {0, 1}
+
+
+def test_decode_accepts_unpadded_width(engine):
+    eng, graph = engine
+    s = np.zeros((4, graph.n_checks))  # real width, no padding
+    out = eng.decode(s)
+    assert out.shape == (4, graph.n_qubits, 2)
+
+
+def test_decode_rejects_oversized(engine):
+    eng, graph = engine
+    with pytest.raises(ValueError, match="exceeds"):
+        eng.decode(np.zeros((2, graph.n_checks_pad + 8)))
+
+
+def test_from_checkpoint(tmp_path):
+    cfg = ExperimentConfig(
+        code=CodeConfig(family="repetition", distance=5, p=0.1),
+        model=ModelConfig(hidden=8, msg_hidden=8, rounds=2, backend="fused"),
+        train=TrainConfig(batch=16, steps=3, warmup_steps=1, eval_every=10,
+                          eval_shots=32, checkpoint_dir=str(tmp_path / "ck")),
+    )
+    from tpugnn.train import train
+
+    train(cfg, log=lambda *_: None)
+    eng = DecodeEngine.from_checkpoint(str(tmp_path / "ck"), cfg, max_batch=16)
+    out = eng.decode(np.zeros((3, 4)))
+    assert out.shape == (3, 5, 2)
+
+
+def test_from_checkpoint_missing(tmp_path):
+    cfg = ExperimentConfig(
+        code=CodeConfig(family="repetition", distance=5),
+        model=ModelConfig(hidden=8, msg_hidden=8, rounds=2, backend="fused"),
+    )
+    with pytest.raises(FileNotFoundError):
+        DecodeEngine.from_checkpoint(str(tmp_path / "nope"), cfg)

@@ -1,0 +1,53 @@
+"""Training extras: curriculum, metrics JSONL, checkpoint roundtrip."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpugnn.configs import CodeConfig, ExperimentConfig, ModelConfig, TrainConfig
+from tpugnn.train import init_state, make_train_step, train
+from tpugnn.tanner import build_code
+
+
+def _cfg(tmp_path, **train_kw):
+    return ExperimentConfig(
+        code=CodeConfig(family="repetition", distance=5, p=0.1),
+        model=ModelConfig(hidden=8, msg_hidden=8, rounds=2),
+        train=TrainConfig(batch=32, steps=6, warmup_steps=2, eval_every=3,
+                          eval_shots=64, **train_kw),
+    )
+
+
+def test_p_curriculum_changes_sampling(tmp_path):
+    cfg = _cfg(tmp_path, p_curriculum=(0.0, 0.5, 4))
+    graph = build_code("repetition", 5)
+    state, model = init_state(cfg, graph)
+    step = make_train_step(cfg, model)
+    # at step 0 the curriculum p is 0 -> loss reflects trivial syndromes;
+    # after several steps p ramps up. Just assert it runs and steps advance.
+    for _ in range(5):
+        state, metrics = step(state, graph)
+    assert int(state.step) == 5
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_metrics_jsonl_written(tmp_path):
+    path = os.path.join(str(tmp_path), "m.jsonl")
+    cfg = _cfg(tmp_path, metrics_jsonl=path)
+    train(cfg, log=lambda *_: None)
+    lines = [json.loads(x) for x in open(path)]
+    assert lines and "loss" in lines[0] and "ler" in lines[0]
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    ckdir = os.path.join(str(tmp_path), "ck")
+    cfg = _cfg(tmp_path, checkpoint_dir=ckdir)
+    state, model, graph, _ = train(cfg, log=lambda *_: None)
+    # resume: same config restores at final step and does no extra work
+    state2, _, _, _ = train(cfg, log=lambda *_: None)
+    assert int(state2.step) == int(state.step) == cfg.train.steps
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -87,6 +87,8 @@ def main(argv: list[str] | None = None) -> int:
         if name == "sweep":
             sp.add_argument("--shots", type=int, default=20_000)
             sp.add_argument("--ps", type=float, nargs="+", default=[0.01, 0.03, 0.05, 0.08])
+            sp.add_argument("--baseline", action="store_true",
+                            help="also report union-find decoder LER per p")
     args = ap.parse_args(argv)
     if args.cpu:
         _force_cpu()
@@ -126,9 +128,17 @@ def main(argv: list[str] | None = None) -> int:
                 p=p, shots=args.shots, batch=min(args.shots, 4096),
                 key=jax.random.PRNGKey(cfg.train.seed + 99),
             )
-            print(json.dumps({"family": cfg.code.family, "d": cfg.code.distance,
-                              "p": p, **{k: ev[k] for k in ("ler", "ler_stderr", "shots")},
-                              **({"ler_logical": ev["ler_logical"]} if "ler_logical" in ev else {})}))
+            row = {"family": cfg.code.family, "d": cfg.code.distance,
+                   "p": p, **{k: ev[k] for k in ("ler", "ler_stderr", "shots")},
+                   **({"ler_logical": ev["ler_logical"]} if "ler_logical" in ev else {})}
+            if getattr(args, "baseline", False):
+                from tpugnn.eval.baseline import ler_union_find
+
+                uf = ler_union_find(graph, p=p, shots=args.shots,
+                                    batch=min(args.shots, 4096),
+                                    key=jax.random.PRNGKey(cfg.train.seed + 7))
+                row["uf_ler"] = uf["ler"]
+            print(json.dumps(row))
         return 0
     return 1
 

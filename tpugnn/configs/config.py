@@ -56,6 +56,8 @@ class TrainConfig:
     checkpoint_every: int = 1000
     metrics_jsonl: Optional[str] = None   # structured metrics sink (JSONL)
     profile_dir: Optional[str] = None     # jax.profiler trace of steps 10..14
+    # linear noise curriculum (p_from, p_to, over_steps); None = fixed code.p
+    p_curriculum: Optional[Tuple[float, float, int]] = None
 
 
 @dataclass(frozen=True)

@@ -42,12 +42,15 @@ class _FusedMessage(nn.Module):
     hidden: int
     msg_hidden: int
     dtype: jnp.dtype
+    gather: str = "auto"  # take | onehot | auto (onehot on TPU)
 
     @nn.compact
     def __call__(self, x_dst, x_src_all, slot_src, slot_mask):
         """x_dst: [B, rows, H] destination-node states (dst endpoint of edges);
         x_src_all: [B, src_rows, H]; slot_src: i32[rows, D] source-node index
         per ELL slot; slot_mask: f32[rows, D]."""
+        import jax
+
         h, mh = self.hidden, self.msg_hidden
         dt = self.dtype
         w_dst = self.param("w_dst", nn.initializers.lecun_normal(), (h, mh), dt)
@@ -56,12 +59,31 @@ class _FusedMessage(nn.Module):
         w_out = self.param("w_out", nn.initializers.lecun_normal(), (mh, h), dt)
         b_out = self.param("b_out", nn.initializers.zeros_init(), (h,), dt)
 
+        gather = self.gather
+        if gather == "auto":
+            gather = "onehot" if jax.default_backend() == "tpu" else "take"
+
         y_dst = x_dst @ w_dst                     # [B, rows, MH]
         y_src = x_src_all @ w_src                 # [B, src_rows, MH]
-        y_src_slots = jnp.take(y_src, slot_src.reshape(-1), axis=-2)
-        y_src_slots = y_src_slots.reshape(
-            y_src.shape[:-2] + slot_src.shape + (y_src.shape[-1],)
-        )                                          # [B, rows, D, MH]
+        rows, d = slot_src.shape
+        if gather == "onehot":
+            # dynamic gathers are slow on TPU; the slot gather is a tiny
+            # one-hot incidence matmul on the MXU instead (same trick as
+            # the fused Pallas kernel)
+            g = jax.nn.one_hot(
+                slot_src.reshape(-1), x_src_all.shape[-2], dtype=dt
+            )                                      # [rows*D, src_rows]
+            y_src_slots = jnp.einsum(
+                "es,...sf->...ef", g, y_src, preferred_element_type=jnp.float32
+            ).astype(dt)
+            y_src_slots = y_src_slots.reshape(
+                y_src.shape[:-2] + (rows, d, y_src.shape[-1])
+            )
+        else:
+            y_src_slots = jnp.take(y_src, slot_src.reshape(-1), axis=-2)
+            y_src_slots = y_src_slots.reshape(
+                y_src.shape[:-2] + slot_src.shape + (y_src.shape[-1],)
+            )                                      # [B, rows, D, MH]
         z = nn.relu(y_dst[..., :, None, :] + y_src_slots + b0)
         hsum = jnp.sum(z * slot_mask[..., None], axis=-2)   # [B, rows, MH]
         deg = jnp.sum(slot_mask, axis=-1)                    # [rows] real degree

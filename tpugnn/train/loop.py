@@ -106,7 +106,13 @@ def make_train_step(cfg: ExperimentConfig, model: GNNDecoder):
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, graph: TannerGraph):
         key, sub = jax.random.split(state.key)
-        batch = sample_batch(sub, graph, cfg.code.p, cfg.train.batch)
+        if cfg.train.p_curriculum is not None:
+            p0, p1, over = cfg.train.p_curriculum
+            frac = jnp.minimum(state.step.astype(jnp.float32) / max(over, 1), 1.0)
+            p = p0 + (p1 - p0) * frac
+        else:
+            p = cfg.code.p
+        batch = sample_batch(sub, graph, p, cfg.train.batch)
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, model.apply, graph, batch, cfg
         )
