@@ -114,10 +114,12 @@ def _make_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt):
         return r.reshape(a.shape[0], a.shape[1], b.shape[-1])
 
     def gdot(g, y):
-        # g: [slots, rows] x y: [rows, TB, F] -> [slots, TB, F].  g is
-        # one-hot (single nonzero per row), so accumulating in the compute
-        # dtype is EXACT — skip the f32 round-trip and its cast passes.
-        r = jnp.dot(g, y.reshape(y.shape[0], -1), preferred_element_type=cdt)
+        # g: [slots, rows] x y: [rows, TB, F] -> [slots, TB, F].
+        # (Mosaic requires 32-bit matmul accumulators, so the one-hot
+        # gather GEMM accumulates in f32 even though bf16 would be exact.)
+        r = jnp.dot(
+            g, y.reshape(y.shape[0], -1), preferred_element_type=jnp.float32
+        )
         return r.reshape(g.shape[0], y.shape[1], y.shape[2])
 
     def kernel(
