@@ -88,3 +88,28 @@ def test_other_families(family, d):
     out = model.apply(params, g, b.syndrome)
     assert out.qubit_logits.shape[1] == g.n_qubits_pad
     assert out.logical_logits.shape == (4, 2 * g.k)
+
+
+def test_pauli4_head():
+    from tpugnn.configs import CodeConfig, ExperimentConfig, TrainConfig
+    from tpugnn.eval.ler import decode_corrections
+    from tpugnn.train import train
+    import jax.numpy as jnp
+
+    cfg = ExperimentConfig(
+        code=CodeConfig(family="surface", distance=3, p=0.08),
+        model=ModelConfig(hidden=16, msg_hidden=16, rounds=2, qubit_head="pauli4"),
+        train=TrainConfig(batch=64, steps=30, warmup_steps=5, eval_every=30,
+                          eval_shots=256),
+    )
+    state, model, graph, hist = train(cfg, log=lambda *_: None)
+    b = sample_batch(jax.random.PRNGKey(0), graph, 0.08, 8)
+    out = model.apply(state.params, graph, b.syndrome)
+    assert out.qubit_logits.shape == (8, graph.n_qubits_pad, 4)
+    ex, ez = decode_corrections(out.qubit_logits)
+    assert set(np.unique(np.asarray(ex))) <= {0.0, 1.0}
+    assert set(np.unique(np.asarray(ez))) <= {0.0, 1.0}
+    # mapping sanity: class 3 = Y = (ex=1, ez=1)
+    fake = jnp.full((1, 4, 4), -10.0).at[..., 3].set(10.0)
+    ex, ez = decode_corrections(fake)
+    assert ex.sum() == 4 and ez.sum() == 4

@@ -37,6 +37,9 @@ class ModelConfig:
     aggr: str = "sum"               # sum | mean | max
     backend: str = "segment"        # segment | dense | ell | fused | pallas
     readout: str = "both"           # per_qubit | logical | both
+    qubit_head: str = "bits"        # bits (2 sigmoid: ex, ez) | pauli4
+                                    # (4-way softmax I/X/Z/Y; models the
+                                    # X-Z correlation of Y errors)
     dtype: str = "float32"          # activation dtype ("bfloat16" for perf)
 
 

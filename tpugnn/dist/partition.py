@@ -69,6 +69,8 @@ class LocalGraphView:
     check_is_x: jnp.ndarray  # f32[mb]
     check_deg: jnp.ndarray   # f32[mb]
     qubit_deg: jnp.ndarray   # f32[nb]
+    check_feat: jnp.ndarray  # f32[mb, POS_F]
+    qubit_feat: jnp.ndarray  # f32[nb, POS_F]
 
     # --- boundary-only all_to_all halo tables (halo='alltoall') ----------
     # check-direction: interior edges (src qubit local) / boundary edges
@@ -124,6 +126,8 @@ class PartitionedGraph:
     check_is_x: jnp.ndarray
     check_deg: jnp.ndarray
     qubit_deg: jnp.ndarray
+    check_feat: jnp.ndarray
+    qubit_feat: jnp.ndarray
 
     # boundary-only all_to_all halo tables (see LocalGraphView)
     halo: str = struct.field(pytree_node=False, default="gather")
@@ -158,6 +162,7 @@ class PartitionedGraph:
             check_mask=sq(self.check_mask), qubit_mask=sq(self.qubit_mask),
             check_is_x=sq(self.check_is_x),
             check_deg=sq(self.check_deg), qubit_deg=sq(self.qubit_deg),
+            check_feat=sq(self.check_feat), qubit_feat=sq(self.qubit_feat),
             halo=self.halo, hq=self.hq, hc=self.hc,
             ci_dst=sq(self.ci_dst), ci_src=sq(self.ci_src), ci_mask=sq(self.ci_mask),
             cb_dst=sq(self.cb_dst), cb_src=sq(self.cb_src), cb_mask=sq(self.cb_mask),
@@ -298,6 +303,8 @@ def partition_graph(
         check_is_x=jnp.asarray(blocks(graph.check_is_x, mb)),
         check_deg=jnp.asarray(blocks(graph.check_deg, mb)),
         qubit_deg=jnp.asarray(blocks(graph.qubit_deg, nb)),
+        check_feat=jnp.asarray(np.asarray(graph.check_feat).reshape(n_parts, mb, -1)),
+        qubit_feat=jnp.asarray(np.asarray(graph.qubit_feat).reshape(n_parts, nb, -1)),
         **halo_fields,
     )
 

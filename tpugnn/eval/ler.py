@@ -32,7 +32,15 @@ __all__ = ["decode_corrections", "count_failures", "ler_monte_carlo"]
 
 
 def decode_corrections(out_qubit_logits: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Threshold per-qubit (ex, ez) logits into a hard correction."""
+    """Per-qubit logits -> hard correction (ex, ez).
+
+    Two head layouts: width 2 = independent sigmoid bits (threshold at 0);
+    width 4 = Pauli softmax over [I, X, Z, Y] with index = ex + 2*ez
+    (argmax decodes both components jointly).
+    """
+    if out_qubit_logits.shape[-1] == 4:
+        idx = jnp.argmax(out_qubit_logits, axis=-1)
+        return (idx % 2).astype(jnp.float32), (idx // 2).astype(jnp.float32)
     hard = (out_qubit_logits > 0.0).astype(jnp.float32)
     return hard[..., 0], hard[..., 1]
 

@@ -125,10 +125,28 @@ def _make_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt):
     def kernel(
         xc_ref, xq_ref, syn_ucs_ref,
         g_c_ref, mask_c_ref, degbo_c_ref, g_q_ref, mask_q_ref, degbo_q_ref,
-        *w_refs,
+        wmh_ref, wh_ref, bmh_ref, bh_ref,
+        out_xc_ref, out_xq_ref,
     ):
-        out_xc_ref, out_xq_ref = w_refs[-2:]
-        w = RoundWeights(*[r[:].astype(cdt) for r in w_refs[:-2]])
+        # unpack the weight bundles (static slices = free VMEM views).
+        # Packing ~30 small operands into 4 cuts per-grid-step DMA issue
+        # overhead, which dominated the per-program fixed cost.
+        wmh = wmh_ref[:].astype(cdt)   # [4H, MH]
+        wh = wh_ref[:].astype(cdt)     # [2MH+6H, H]
+        bmh = bmh_ref[:].astype(cdt)   # [2, MH]
+        bh = bh_ref[:].astype(cdt)     # [8, H]
+        w = RoundWeights(
+            wd_c=wmh[0:H], ws_c=wmh[H:2*H], b0_c=bmh[0:1],
+            wo_c=wh[0:MH], bo_c=None,
+            wd_q=wmh[2*H:3*H], ws_q=wmh[3*H:4*H], b0_q=bmh[1:2],
+            wo_q=wh[MH:2*MH], bo_q=None,
+            uc_x=wh[2*MH:2*MH+H], uc_a=wh[2*MH+H:2*MH+2*H], uc_s=None,
+            uc_b0=bh[0:1], uc_w1=wh[2*MH+2*H:2*MH+3*H], uc_b1=bh[1:2],
+            uq_x=wh[2*MH+3*H:2*MH+4*H], uq_a=wh[2*MH+4*H:2*MH+5*H],
+            uq_b0=bh[2:3], uq_w1=wh[2*MH+5*H:2*MH+6*H], uq_b1=bh[3:4],
+            lnc_scale=bh[4:5], lnc_bias=bh[5:6],
+            lnq_scale=bh[6:7], lnq_bias=bh[7:8],
+        )
         xc0 = xc_ref[0].astype(cdt)     # [M, TB, H]
         xq0 = xq_ref[0].astype(cdt)     # [N, TB, H]
         # syndrome-feature term of the check update, pre-multiplied by the
@@ -142,27 +160,30 @@ def _make_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt):
         degbo_c = degbo_c_ref[:]              # [M, 1, H] f32: deg * b_out
         degbo_q = degbo_q_ref[:]
 
+        def slot_sum(zs, yd, b0, mask, rows, d):
+            # zs: [rows*D, TB, MH] slot-gathered sources; accumulate
+            # relu(zs_k + yd + b0)*mask_k one slot-chunk at a time so only
+            # ONE slot-wide tensor is ever live (VMEM: ~1x instead of ~3x)
+            zs4 = zs.reshape(rows, d, TB, MH)
+            m4 = mask.reshape(rows, d, 1, MH)
+            hs = jax.nn.relu(zs4[:, 0] + yd + b0) * m4[:, 0]
+            for k in range(1, d):
+                hs = hs + jax.nn.relu(zs4[:, k] + yd + b0) * m4[:, k]
+            return hs                                    # [rows, TB, MH]
+
         def round_body(_, carry):
             xc, xq = carry
             # --- messages into checks (src = qubits) ---------------------
             yd = dot2(xc, w.wd_c).astype(cdt)            # [M, TB, MH]
             ys = dot2(xq, w.ws_c).astype(cdt)            # [N, TB, MH]
             zs = gdot(g_c, ys).astype(cdt)               # [M*Dc, TB, MH]
-            zd = jnp.broadcast_to(
-                yd[:, None, :, :], (M, Dc, TB, MH)
-            ).reshape(M * Dc, TB, MH)
-            z = jax.nn.relu(zs + zd + w.b0_c) * mask_c
-            hs = jnp.sum(z.reshape(M, Dc, TB, MH), axis=1)  # [M, TB, MH]
-            agg_c = dot2(hs, w.wo_c) + degbo_c              # [M, TB, H] f32
+            hs = slot_sum(zs, yd, w.b0_c, mask_c, M, Dc)
+            agg_c = dot2(hs, w.wo_c) + degbo_c           # [M, TB, H] f32
             # --- messages into qubits (src = checks) ---------------------
             yd2 = dot2(xq, w.wd_q).astype(cdt)
             ys2 = dot2(xc, w.ws_q).astype(cdt)
             zs2 = gdot(g_q, ys2).astype(cdt)
-            zd2 = jnp.broadcast_to(
-                yd2[:, None, :, :], (N, Dq, TB, MH)
-            ).reshape(N * Dq, TB, MH)
-            z2 = jax.nn.relu(zs2 + zd2 + w.b0_q) * mask_q
-            hs2 = jnp.sum(z2.reshape(N, Dq, TB, MH), axis=1)
+            hs2 = slot_sum(zs2, yd2, w.b0_q, mask_q, N, Dq)
             agg_q = dot2(hs2, w.wo_q) + degbo_q
             # --- updates (residual MLP + LayerNorm) ----------------------
             hc = jax.nn.relu(
@@ -201,7 +222,7 @@ def decoder_rounds(
     *,
     rounds: int,
     interpret: bool | None = None,
-    block_batch: int = 8,
+    block_batch: int = 16,
     compute_dtype: str = "bfloat16",
 ):
     """Run R fused message rounds; returns (xc_final, xq_final) in f32.
@@ -220,14 +241,12 @@ def decoder_rounds(
     dq = g_q.shape[0] // n
     mh = weights.wd_c.shape[1]
     cdt = jnp.dtype(compute_dtype)
-    # auto-size the batch tile to the 16MB VMEM budget: both directions'
-    # slot-wide tensors (zs/zd/z x 2) plus node panels and double-buffered
-    # IO empirically cost ~9 * slots * TB * MH * itemsize (measured via
-    # Mosaic scoped-vmem OOM reports at d=11)
+    # auto-size the batch tile to the 16MB VMEM budget; Mosaic scoped-vmem
+    # reports at d=11 put the stack at ~8 * slots * TB * MH * itemsize
     slots = max(g_c.shape[0], g_q.shape[0])
-    budget = 10 * 1024 * 1024
+    budget = 15 * 1024 * 1024
     tb = block_batch
-    while tb > 1 and 9.0 * slots * tb * mh * cdt.itemsize > budget:
+    while tb > 1 and 8.0 * slots * tb * mh * cdt.itemsize > budget:
         tb //= 2
     while b % tb:
         tb //= 2
@@ -266,6 +285,22 @@ def decoder_rounds(
     )
 
     ops = (g_c, mask_c, degbo_c, g_q, mask_q, degbo_q)
+    # pack the ~30 weight leaves into 4 operands (fewer per-grid-step DMAs)
+    w = weights
+    f32 = jnp.float32
+    wmh = jnp.concatenate(
+        [w.wd_c, w.ws_c, w.wd_q, w.ws_q], axis=0
+    ).astype(f32)                                        # [4H, MH]
+    wh_pack = jnp.concatenate(
+        [w.wo_c, w.wo_q, w.uc_x, w.uc_a, w.uc_w1, w.uq_x, w.uq_a, w.uq_w1],
+        axis=0,
+    ).astype(f32)                                        # [2MH+6H, H]
+    bmh = jnp.concatenate([w.b0_c, w.b0_q], axis=0).astype(f32)   # [2, MH]
+    bh = jnp.concatenate(
+        [w.uc_b0, w.uc_b1, w.uq_b0, w.uq_b1,
+         w.lnc_scale, w.lnc_bias, w.lnq_scale, w.lnq_bias], axis=0
+    ).astype(f32)                                        # [8, H]
+    packs = (wmh, wh_pack, bmh, bh)
     flops_round = 2 * (
         m * h * mh + n * h * mh + m * dc * n * mh + n * h * mh + m * h * mh
         + n * dq * m * mh + m * mh * h + n * mh * h + 4 * m * h * h + 4 * n * h * h
@@ -283,7 +318,7 @@ def decoder_rounds(
                 tile_spec(n, h),
                 tile_spec(m, h),   # syn_ucs
                 *[full(o) for o in ops],
-                *[full(x) for x in weights],
+                *[full(x) for x in packs],
             ],
             out_specs=(tile_spec(m, h), tile_spec(n, h)),
         ),
@@ -293,7 +328,7 @@ def decoder_rounds(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xc_t, xq_t, syn_ucs, *ops, *weights)
+    )(xc_t, xq_t, syn_ucs, *ops, *packs)
 
     def from_tiles(x, rows, f):
         return x.transpose(0, 2, 1, 3).reshape(b, rows, f)

@@ -116,15 +116,26 @@ class GNNDecoder(nn.Module):
         s_pm = (2.0 * syndrome.astype(dtype) - 1.0) * check_mask  # +/-1, 0 on pads
         syn_feat = s_pm[..., None]                                # [B, m_pad, 1]
         is_x = jnp.broadcast_to(graph.check_is_x.astype(dtype), (batch, m_pad))
-        check_in = jnp.stack(
-            [s_pm, is_x * check_mask, (1.0 - is_x) * check_mask], axis=-1
+        pos_c = jnp.broadcast_to(
+            graph.check_feat.astype(dtype), (batch,) + graph.check_feat.shape
+        )
+        check_in = jnp.concatenate(
+            [
+                jnp.stack(
+                    [s_pm, is_x * check_mask, (1.0 - is_x) * check_mask], axis=-1
+                ),
+                pos_c,
+            ],
+            axis=-1,
         )
         x_c = _mlp((cfg.hidden, cfg.hidden), dtype, "embed_check")(check_in)
 
-        q_embed = self.param(
-            "qubit_embed", nn.initializers.normal(0.02), (cfg.hidden,), dtype
+        # qubit states: embed the static node-identity features once and
+        # broadcast over the batch
+        xq0 = _mlp((cfg.hidden, cfg.hidden), dtype, "embed_qubit")(
+            graph.qubit_feat.astype(dtype)
         )
-        x_q = jnp.broadcast_to(q_embed, (batch, n_pad, cfg.hidden))
+        x_q = jnp.broadcast_to(xq0, (batch, n_pad, cfg.hidden))
         x_q = x_q * qubit_mask[:, None]
 
         state = NodeStates(check=x_c * check_mask[:, None], qubit=x_q)
@@ -158,7 +169,8 @@ class GNNDecoder(nn.Module):
         qubit_logits = None
         logical_logits = None
         if cfg.readout in ("per_qubit", "both"):
-            qubit_logits = nn.Dense(2, dtype=jnp.float32, name="head_qubit")(
+            width = 4 if cfg.qubit_head == "pauli4" else 2
+            qubit_logits = nn.Dense(width, dtype=jnp.float32, name="head_qubit")(
                 state.qubit
             )
         if cfg.readout in ("logical", "both"):

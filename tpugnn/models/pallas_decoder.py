@@ -74,9 +74,14 @@ class PallasDecoder:
         s_pm = (2.0 * syndrome - 1.0) * cm
         syn_feat = s_pm[..., None]
         is_x = jnp.broadcast_to(graph.check_is_x, (batch, m_pad))
-        check_in = jnp.stack([s_pm, is_x * cm, (1.0 - is_x) * cm], axis=-1)
+        pos_c = jnp.broadcast_to(graph.check_feat, (batch,) + graph.check_feat.shape)
+        check_in = jnp.concatenate(
+            [jnp.stack([s_pm, is_x * cm, (1.0 - is_x) * cm], axis=-1), pos_c],
+            axis=-1,
+        )
         x_c = _mlp2(check_in, p["embed_check_d0"], p["embed_check_d1"]) * cm[:, None]
-        x_q = jnp.broadcast_to(p["qubit_embed"], (batch, n_pad, cfg.hidden))
+        xq0 = _mlp2(graph.qubit_feat, p["embed_qubit_d0"], p["embed_qubit_d1"])
+        x_q = jnp.broadcast_to(xq0, (batch, n_pad, cfg.hidden))
         x_q = x_q * qm[:, None]
 
         # --- fused kernel rounds ------------------------------------------

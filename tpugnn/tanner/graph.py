@@ -42,7 +42,9 @@ from flax import struct
 
 from tpugnn.utils import f2
 
-__all__ = ["TannerGraph", "build_tanner_graph"]
+__all__ = ["TannerGraph", "build_tanner_graph", "POS_F"]
+
+POS_F = 8  # width of the static random node-identity features
 
 
 def _round_up(x: int, m: int) -> int:
@@ -97,6 +99,15 @@ class TannerGraph:
     # --- node masks (1.0 real, 0.0 padding) ------------------------------
     check_mask: jnp.ndarray    # f32[m_pad]
     qubit_mask: jnp.ndarray    # f32[n_pad]
+
+    # --- static node identity features -----------------------------------
+    # deterministic random +-1 features per node (seeded from the node
+    # index): message passing alone cannot distinguish automorphic nodes,
+    # and the decoder needs positional identity to map syndromes to
+    # corrections; random identifiers are the standard symmetry-breaking
+    # device and shard naturally with the graph blocks
+    check_feat: jnp.ndarray    # f32[m_pad, POS_F]
+    qubit_feat: jnp.ndarray    # f32[n_pad, POS_F]
 
     # --- dense operators (MXU path + syndrome map) -----------------------
     h_syn_ez: jnp.ndarray      # f32[m_pad, n_pad]; X-type rows: s = Hx @ ez
@@ -232,6 +243,14 @@ def build_tanner_graph(
         ell_qubit_mask=jnp.asarray(ell_q_mask),
         check_mask=jnp.asarray((np.arange(m_pad) < m).astype(np.float32)),
         qubit_mask=jnp.asarray((np.arange(n_pad) < n).astype(np.float32)),
+        check_feat=jnp.asarray(
+            (np.random.default_rng(12345).integers(0, 2, (m_pad, POS_F)) * 2.0 - 1.0)
+            * (np.arange(m_pad) < m)[:, None]
+        ).astype(jnp.float32),
+        qubit_feat=jnp.asarray(
+            (np.random.default_rng(54321).integers(0, 2, (n_pad, POS_F)) * 2.0 - 1.0)
+            * (np.arange(n_pad) < n)[:, None]
+        ).astype(jnp.float32),
         h_syn_ez=jnp.asarray(h_syn_ez),
         h_syn_ex=jnp.asarray(h_syn_ex),
         check_is_x=jnp.asarray(is_x),

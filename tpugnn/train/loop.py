@@ -47,16 +47,28 @@ def loss_fn(params, apply_fn, graph: TannerGraph, batch, cfg: ExperimentConfig):
     total = 0.0
     metrics = {}
     if out.qubit_logits is not None and cfg.train.loss_qubit_weight:
-        targets = jnp.stack([batch.ex, batch.ez], axis=-1)  # [B, n_pad, 2]
-        per = optax.sigmoid_binary_cross_entropy(out.qubit_logits, targets)
-        per = per * qm[:, None]
-        lq = jnp.sum(per) / (batch.syndrome.shape[0] * graph.n_qubits * 2)
+        if out.qubit_logits.shape[-1] == 4:
+            # Pauli softmax head: class index = ex + 2*ez over [I, X, Z, Y]
+            labels = (batch.ex + 2.0 * batch.ez).astype(jnp.int32)
+            per = optax.softmax_cross_entropy_with_integer_labels(
+                out.qubit_logits, labels
+            ) * qm
+            lq = jnp.sum(per) / (batch.syndrome.shape[0] * graph.n_qubits)
+            hard = jnp.argmax(out.qubit_logits, axis=-1)
+            acc = jnp.sum((hard == labels) * qm) / (
+                batch.syndrome.shape[0] * graph.n_qubits
+            )
+        else:
+            targets = jnp.stack([batch.ex, batch.ez], axis=-1)  # [B, n_pad, 2]
+            per = optax.sigmoid_binary_cross_entropy(out.qubit_logits, targets)
+            per = per * qm[:, None]
+            lq = jnp.sum(per) / (batch.syndrome.shape[0] * graph.n_qubits * 2)
+            hard = (out.qubit_logits > 0).astype(jnp.float32)
+            acc = jnp.sum((hard == targets) * qm[:, None]) / (
+                batch.syndrome.shape[0] * graph.n_qubits * 2
+            )
         total = total + cfg.train.loss_qubit_weight * lq
         metrics["loss_qubit"] = lq
-        hard = (out.qubit_logits > 0).astype(jnp.float32)
-        acc = jnp.sum((hard == targets) * qm[:, None]) / (
-            batch.syndrome.shape[0] * graph.n_qubits * 2
-        )
         metrics["acc_qubit"] = acc
     if out.logical_logits is not None and cfg.train.loss_logical_weight:
         ll = jnp.mean(
