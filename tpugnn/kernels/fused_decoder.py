@@ -36,7 +36,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["RoundWeights", "decoder_rounds", "make_operators"]
+__all__ = [
+    "RoundWeights", "decoder_rounds", "make_operators", "rounds_xla",
+    "make_differentiable_rounds",
+]
 
 
 class RoundWeights(NamedTuple):
@@ -334,3 +337,90 @@ def decoder_rounds(
         return x.transpose(0, 2, 1, 3).reshape(b, rows, f)
 
     return from_tiles(xc_o, m, h), from_tiles(xq_o, n, h)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper: Pallas forward, rematerialized XLA backward
+# ---------------------------------------------------------------------------
+
+def rounds_xla(xc, xq, syn, operators, weights: RoundWeights, *, rounds: int):
+    """Pure-XLA twin of the kernel's round loop (f32, batch layout).
+
+    Shares RoundWeights/operators with the kernel and mirrors its math
+    exactly (chunk order differences only reassociate f32 sums).  Used as
+    the rematerialized backward for :func:`make_differentiable_rounds` and
+    as a CPU-friendly reference in tests.
+    """
+    g_c, mask_c, deg_c, g_q, mask_q, deg_q = operators
+    w = weights
+    m = xc.shape[1]
+    n = xq.shape[1]
+    dc = g_c.shape[0] // m
+    dq = g_q.shape[0] // n
+    mh = w.wd_c.shape[1]
+
+    def direction(x_dst, x_src, g, mask, deg, wd, ws, b0, wo, bo, rows, d):
+        yd = x_dst @ wd                                    # [B, rows, MH]
+        ys = x_src @ ws
+        zs = jnp.einsum("es,bsf->bef", g, ys,
+                        preferred_element_type=jnp.float32)
+        zd = jnp.broadcast_to(
+            yd[:, :, None, :], yd.shape[:2] + (d, mh)
+        ).reshape(yd.shape[0], rows * d, mh)
+        z = jax.nn.relu(zs + zd + b0) * mask[None, :, :]
+        hs = jnp.sum(z.reshape(z.shape[0], rows, d, mh), axis=2)
+        return hs @ wo + deg[None] * bo
+
+    def body(carry, _):
+        xc, xq = carry
+        agg_c = direction(xc, xq, g_c, mask_c, deg_c,
+                          w.wd_c, w.ws_c, w.b0_c, w.wo_c, w.bo_c, m, dc)
+        agg_q = direction(xq, xc, g_q, mask_q, deg_q,
+                          w.wd_q, w.ws_q, w.b0_q, w.wo_q, w.bo_q, n, dq)
+        hc = jax.nn.relu(xc @ w.uc_x + agg_c @ w.uc_a + syn * w.uc_s + w.uc_b0)
+        xc2 = _ln(xc + hc @ w.uc_w1 + w.uc_b1, w.lnc_scale, w.lnc_bias)
+        hq = jax.nn.relu(xq @ w.uq_x + agg_q @ w.uq_a + w.uq_b0)
+        xq2 = _ln(xq + hq @ w.uq_w1 + w.uq_b1, w.lnq_scale, w.lnq_bias)
+        return (xc2, xq2), None
+
+    (xc, xq), _ = jax.lax.scan(body, (xc, xq), None, length=rounds)
+    return xc, xq
+
+
+def make_differentiable_rounds(
+    operators: tuple, *, rounds: int, compute_dtype: str = "bfloat16",
+    interpret: bool | None = None, use_kernel: bool = True,
+):
+    """(xc, xq, syn, weights) -> (xc_out, xq_out), differentiable.
+
+    Forward runs the fused Pallas kernel; backward rematerializes through
+    :func:`rounds_xla` with jax.vjp (standard mixed-precision practice: the
+    f32 XLA twin defines the gradients of the bf16 kernel forward).
+    """
+
+    def _fwd_impl(xc, xq, syn, weights):
+        if use_kernel:
+            return decoder_rounds(
+                xc, xq, syn, operators, weights,
+                rounds=rounds, interpret=interpret,
+                compute_dtype=compute_dtype,
+            )
+        return rounds_xla(xc, xq, syn, operators, weights, rounds=rounds)
+
+    @jax.custom_vjp
+    def f(xc, xq, syn, weights):
+        return _fwd_impl(xc, xq, syn, weights)
+
+    def fwd(xc, xq, syn, weights):
+        return _fwd_impl(xc, xq, syn, weights), (xc, xq, syn, weights)
+
+    def bwd(res, cot):
+        xc, xq, syn, weights = res
+        _, vjp = jax.vjp(
+            lambda a, b, c, w: rounds_xla(a, b, c, operators, w, rounds=rounds),
+            xc, xq, syn, weights,
+        )
+        return vjp(cot)
+
+    f.defvjp(fwd, bwd)
+    return f

@@ -52,9 +52,15 @@ def _mlp2(x, p0, p1):
 
 
 class PallasDecoder:
-    """Functional inference twin of GNNDecoder(backend='fused')."""
+    """Functional twin of GNNDecoder(backend='fused') on the fused kernel.
 
-    def __init__(self, cfg: ModelConfig, k: int, *, interpret: bool | None = None):
+    With ``trainable=True`` the round loop is wrapped in a custom VJP
+    (kernel forward, rematerialized XLA backward), so ``apply`` composes
+    with jax.grad and the training loop can ride the kernel.
+    """
+
+    def __init__(self, cfg: ModelConfig, k: int, *, interpret: bool | None = None,
+                 trainable: bool = False):
         if not cfg.weight_tied:
             raise ValueError("PallasDecoder supports weight-tied rounds only")
         if cfg.aggr != "sum":
@@ -62,6 +68,8 @@ class PallasDecoder:
         self.cfg = cfg
         self.k = k
         self.interpret = interpret
+        self.trainable = trainable
+        self._diff_cache: dict = {}
 
     def apply(self, params, graph: TannerGraph, syndrome: jnp.ndarray) -> DecoderOutput:
         cfg = self.cfg
@@ -87,11 +95,22 @@ class PallasDecoder:
         # --- fused kernel rounds ------------------------------------------
         w = roundweights_from_flax(p["rounds"])
         ops = make_operators(graph)
-        x_c, x_q = decoder_rounds(
-            x_c, x_q, syn_feat, ops, w,
-            rounds=cfg.rounds, interpret=self.interpret,
-            compute_dtype=cfg.dtype,
-        )
+        if self.trainable:
+            from tpugnn.kernels.fused_decoder import make_differentiable_rounds
+
+            key = (graph.name, cfg.rounds)
+            if key not in self._diff_cache:
+                self._diff_cache[key] = make_differentiable_rounds(
+                    ops, rounds=cfg.rounds, compute_dtype=cfg.dtype,
+                    interpret=self.interpret,
+                )
+            x_c, x_q = self._diff_cache[key](x_c, x_q, syn_feat, w)
+        else:
+            x_c, x_q = decoder_rounds(
+                x_c, x_q, syn_feat, ops, w,
+                rounds=cfg.rounds, interpret=self.interpret,
+                compute_dtype=cfg.dtype,
+            )
 
         # --- readout -------------------------------------------------------
         qubit_logits = None

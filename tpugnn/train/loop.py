@@ -94,9 +94,29 @@ def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
     )
 
 
+def _resolve_model(cfg: ExperimentConfig, graph: TannerGraph):
+    """Model + apply_fn for the configured backend.
+
+    backend='pallas' trains through the fused kernel (custom VJP; params in
+    the 'fused' layout); every other backend trains the flax module
+    directly.
+    """
+    import dataclasses
+
+    if cfg.model.backend == "pallas":
+        from tpugnn.models.pallas_decoder import PallasDecoder
+
+        fused_cfg = dataclasses.replace(cfg.model, backend="fused")
+        model = GNNDecoder(fused_cfg, k=graph.k)
+        apply_fn = PallasDecoder(fused_cfg, k=graph.k, trainable=True).apply
+        return model, apply_fn
+    model = GNNDecoder(cfg.model, k=graph.k)
+    return model, model.apply
+
+
 def init_state(cfg: ExperimentConfig, graph: TannerGraph):
     """Initialize model params + optimizer state; returns (state, model)."""
-    model = GNNDecoder(cfg.model, k=graph.k)
+    model, _ = _resolve_model(cfg, graph)
     key = jax.random.PRNGKey(cfg.train.seed)
     key, pkey, skey = jax.random.split(key, 3)
     dummy_syndrome = jnp.zeros((2, graph.n_checks_pad), jnp.float32)
@@ -114,6 +134,15 @@ def init_state(cfg: ExperimentConfig, graph: TannerGraph):
 def make_train_step(cfg: ExperimentConfig, model: GNNDecoder):
     """One fused train step: sample -> forward -> backward -> update."""
     opt = make_optimizer(cfg)
+    if cfg.model.backend == "pallas":
+        import dataclasses
+
+        from tpugnn.models.pallas_decoder import PallasDecoder
+
+        fused_cfg = dataclasses.replace(cfg.model, backend="fused")
+        apply_fn = PallasDecoder(fused_cfg, k=model.k, trainable=True).apply
+    else:
+        apply_fn = model.apply
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, graph: TannerGraph):
@@ -126,7 +155,7 @@ def make_train_step(cfg: ExperimentConfig, model: GNNDecoder):
             p = cfg.code.p
         batch = sample_batch(sub, graph, p, cfg.train.batch)
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, model.apply, graph, batch, cfg
+            state.params, apply_fn, graph, batch, cfg
         )
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
