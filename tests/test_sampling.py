@@ -73,3 +73,23 @@ def test_sampling_is_deterministic_in_key():
     b = sample_batch(jax.random.PRNGKey(9), g, 0.2, 32)
     for x, y in zip(a, b):
         assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_hybrid_failure_rule():
+    """Hybrid rule: per-qubit when consistent, logical fallback otherwise."""
+    import jax.numpy as jnp
+    from tpugnn.eval.ler import count_failures
+    from tpugnn.sampling import sample_batch as _sb
+
+    g = build_code("surface", 3)
+    b = _sb(jax.random.PRNGKey(0), g, 0.1, 64)
+    # perfect correction: hybrid never fails
+    perfect = count_failures(g, b, b.ex, b.ez, jnp.where(b.class_bits > 0, 10.0, -10.0))
+    assert float(perfect["fail_hybrid"].sum()) == 0.0
+    assert float(perfect["fail_qubit"].sum()) == 0.0
+    # garbage per-qubit correction but perfect class bits: hybrid rescues
+    # exactly the syndrome-inconsistent shots
+    bad_ex = jnp.ones_like(b.ex) * g.qubit_mask
+    wrong = count_failures(g, b, bad_ex, b.ez, jnp.where(b.class_bits > 0, 10.0, -10.0))
+    mism = wrong["syn_mismatch"] > 0
+    assert float(wrong["fail_hybrid"][mism].sum()) == 0.0

@@ -68,9 +68,16 @@ def count_failures(
     }
     if logical_logits is not None:
         pred_bits = (logical_logits > 0.0).astype(jnp.float32)
-        res["fail_logical"] = jnp.any(
+        fail_logical = jnp.any(
             pred_bits != batch.class_bits, axis=-1
         ).astype(jnp.float32)
+        res["fail_logical"] = fail_logical
+        # hybrid deployment rule: use the per-qubit correction when it is
+        # syndrome-consistent; otherwise fall back to the always-consistent
+        # pure-error + predicted-logical correction
+        res["fail_hybrid"] = jnp.where(
+            syn_mismatch, fail_logical, logical_flip.astype(jnp.float32)
+        )
     return res
 
 
@@ -114,4 +121,6 @@ def ler_monte_carlo(
     out["shots"] = float(n)
     if "fail_logical_rate" in out:
         out["ler_logical"] = out["fail_logical_rate"]
+    if "fail_hybrid_rate" in out:
+        out["ler_hybrid"] = out["fail_hybrid_rate"]
     return out

@@ -216,8 +216,9 @@ def train(cfg: ExperimentConfig, *, graph: TannerGraph | None = None, log=print)
                 key=jax.random.PRNGKey(1000 + i),
             )
             m.update({"step": i + 1, "ler": ev["ler"], "ler_stderr": ev["ler_stderr"]})
-            if "ler_logical" in ev:
-                m["ler_logical"] = ev["ler_logical"]
+            for extra in ("ler_logical", "ler_hybrid"):
+                if extra in ev:
+                    m[extra] = ev[extra]
             history.append(m)
             if jl is not None:
                 jl.log(m)
