@@ -71,3 +71,17 @@ def test_logical_head_learns(trained):
         key=jax.random.PRNGKey(11),
     )
     assert ev["ler_logical"] < 0.45
+
+
+def test_toric_e2e_smoke():
+    """BASELINE configs[3]: the toric variant trains end-to-end."""
+    cfg = ExperimentConfig(
+        code=CodeConfig(family="toric", distance=3, p=0.05),
+        model=ModelConfig(hidden=32, msg_hidden=32, rounds=4, backend="fused"),
+        train=TrainConfig(batch=128, steps=150, lr=2e-3, warmup_steps=20,
+                          eval_every=150, eval_shots=512),
+    )
+    state, model, graph, history = train(cfg, log=lambda *_: None)
+    assert graph.k == 2
+    assert history[-1]["loss"] < 1.0
+    assert history[-1]["ler"] < 0.9  # learning signal present

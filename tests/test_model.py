@@ -113,3 +113,38 @@ def test_pauli4_head():
     fake = jnp.full((1, 4, 4), -10.0).at[..., 3].set(10.0)
     ex, ez = decode_corrections(fake)
     assert ex.sum() == 4 and ez.sum() == 4
+
+
+def test_gru_update_variant():
+    g = build_code("surface", 3)
+    cfg = ModelConfig(hidden=16, msg_hidden=16, rounds=3, update="gru",
+                      backend="segment")
+    model = GNNDecoder(cfg, k=g.k)
+    b = sample_batch(jax.random.PRNGKey(0), g, 0.08, 4)
+    params = model.init(jax.random.PRNGKey(1), g, b.syndrome)
+    out = model.apply(params, g, b.syndrome)
+    assert out.qubit_logits.shape == (4, g.n_qubits_pad, 2)
+    # trains: gradient flows through the GRU gates
+    import optax
+    from tpugnn.configs import CodeConfig, ExperimentConfig, TrainConfig
+    from tpugnn.train import train
+
+    ecfg = ExperimentConfig(
+        code=CodeConfig(family="surface", distance=3, p=0.08),
+        model=cfg,
+        train=TrainConfig(batch=32, steps=15, warmup_steps=3, eval_every=15,
+                          eval_shots=64),
+    )
+    state, _, _, hist = train(ecfg, log=lambda *_: None)
+    assert np.isfinite(hist[-1]["loss"])
+
+
+def test_fused_rejects_gru():
+    import pytest as _pytest
+
+    g = build_code("surface", 3)
+    cfg = ModelConfig(hidden=8, msg_hidden=8, rounds=1, update="gru", backend="fused")
+    model = GNNDecoder(cfg, k=g.k)
+    b = sample_batch(jax.random.PRNGKey(0), g, 0.05, 2)
+    with _pytest.raises(ValueError, match="mlp"):
+        model.init(jax.random.PRNGKey(1), g, b.syndrome)

@@ -34,6 +34,9 @@ class ModelConfig:
     msg_hidden: int = 128           # edge-message MLP hidden width
     rounds: int = 8                 # fixed BP-style message-round count
     weight_tied: bool = True        # one cell reused every round (BP-like)
+    update: str = "mlp"             # mlp (residual MLP + LayerNorm) | gru
+                                    # (GRU cell over node states; generic
+                                    # backends only)
     aggr: str = "sum"               # sum | mean | max
     backend: str = "segment"        # segment | dense | ell | fused | pallas
     readout: str = "both"           # per_qubit | logical | both

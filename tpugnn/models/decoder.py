@@ -66,19 +66,37 @@ class RoundCell(nn.Module):
         def message_to_check(xc_e, xq_e, _):
             return msg_c(jnp.concatenate([xc_e, xq_e], axis=-1))
 
-        upd_c = _mlp((h, h), dtype, "update_check")
-        upd_q = _mlp((h, h), dtype, "update_qubit")
-        ln_c = nn.LayerNorm(dtype=dtype, name="ln_check")
-        ln_q = nn.LayerNorm(dtype=dtype, name="ln_qubit")
+        if cfg.update == "gru":
+            # GRU node updates (the reference family's recurrent variant,
+            # SURVEY.md C4 "MLP/GRU node updates"): the aggregated messages
+            # (+ syndrome for checks) are the input, the node state is the
+            # hidden state
+            gru_c = nn.GRUCell(h, dtype=dtype, name="gru_check")
+            gru_q = nn.GRUCell(h, dtype=dtype, name="gru_qubit")
 
-        def update_check(x, agg):
-            # re-inject the syndrome every round (BP decoders condition each
-            # iteration on the observed parities, not just the initial state)
-            inp = jnp.concatenate([x, agg, syn_feat], axis=-1)
-            return ln_c(x + upd_c(inp))
+            def update_check(x, agg):
+                new, _ = gru_c(x, jnp.concatenate([agg, syn_feat], axis=-1))
+                return new
 
-        def update_qubit(x, agg):
-            return ln_q(x + upd_q(jnp.concatenate([x, agg], axis=-1)))
+            def update_qubit(x, agg):
+                new, _ = gru_q(x, agg)
+                return new
+
+        else:
+            upd_c = _mlp((h, h), dtype, "update_check")
+            upd_q = _mlp((h, h), dtype, "update_qubit")
+            ln_c = nn.LayerNorm(dtype=dtype, name="ln_check")
+            ln_q = nn.LayerNorm(dtype=dtype, name="ln_qubit")
+
+            def update_check(x, agg):
+                # re-inject the syndrome every round (BP decoders condition
+                # each iteration on the observed parities, not just the
+                # initial state)
+                inp = jnp.concatenate([x, agg, syn_feat], axis=-1)
+                return ln_c(x + upd_c(inp))
+
+            def update_qubit(x, agg):
+                return ln_q(x + upd_q(jnp.concatenate([x, agg], axis=-1)))
 
         new_state = bipartite_round(
             graph,

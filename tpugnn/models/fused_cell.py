@@ -104,6 +104,9 @@ class FusedRoundCell(nn.Module):
         cfg = self.cfg
         if cfg.aggr != "sum":
             raise ValueError("fused backend requires aggr='sum'")
+        if cfg.update != "mlp":
+            raise ValueError("fused backend requires update='mlp' (use a "
+                             "generic backend for GRU updates)")
         dtype = jnp.dtype(cfg.dtype)
         h = cfg.hidden
 

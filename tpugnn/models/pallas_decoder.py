@@ -65,6 +65,8 @@ class PallasDecoder:
             raise ValueError("PallasDecoder supports weight-tied rounds only")
         if cfg.aggr != "sum":
             raise ValueError("PallasDecoder requires aggr='sum'")
+        if cfg.update != "mlp":
+            raise ValueError("PallasDecoder requires update='mlp'")
         self.cfg = cfg
         self.k = k
         self.interpret = interpret
