@@ -96,18 +96,20 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--rounds", type=int, default=8)
     ap.add_argument("--hidden", type=int, default=128)
+    ap.add_argument("--all-backends", action="store_true",
+                    help="also bench the fused/ell XLA paths (adds two slow "
+                         "remote compiles)")
     args = ap.parse_args()
     if args.quick:
         args.d, args.batch, args.rounds, args.hidden = 3, 256, 4, 32
     iters = 5 if args.quick else 10
 
-    candidates = ["fused", "ell", "dense", "segment"]
-    try:  # pallas backend is optional until the kernels land
-        import tpugnn.kernels.spmm  # noqa: F401
-
-        candidates.insert(0, "pallas")
-    except Exception:
-        pass
+    # default: the Pallas kernel, the best XLA path, and the reference-style
+    # baseline; --all-backends adds the rest (each backend costs a multi-
+    # minute remote compile through the axon tunnel)
+    candidates = ["pallas", "dense", "segment"]
+    if args.all_backends:
+        candidates[1:1] = ["fused", "ell"]
 
     results = {}
     for be in candidates:

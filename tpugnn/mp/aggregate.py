@@ -33,7 +33,7 @@ other (tests/kernels/):
 
 All backends treat padded edges as exact zeros (mask multiplication before
 aggregation) and padded rows as dump rows, so padding never changes results
-(masking-invariance test: tests/kernels/test_masking.py).
+(masking-invariance test: tests/test_mp.py::test_masking_invariance).
 """
 
 from __future__ import annotations

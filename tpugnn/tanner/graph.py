@@ -14,7 +14,7 @@ laid out for TPU execution:
   ``pad_nodes`` multiples, edges to ``pad_edges`` multiples) so a given
   ``(d, batch, rounds)`` config compiles exactly once.  Padded entries are
   masked, and masking invariance is asserted by tests
-  (tests/kernels/test_masking.py).
+  (tests/test_mp.py::test_masking_invariance).
 * **Sorted COO + CSR row pointers in both directions** — edges are stored
   once in canonical order (sorted by check, then qubit); ``qubit_perm``
   re-orders them by qubit.  Segmented reductions over contiguous rows replace
