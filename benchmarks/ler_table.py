@@ -1,0 +1,89 @@
+"""Produce the LER parity table: GNN (all heads) vs union-find, from checkpoints.
+
+    python benchmarks/ler_table.py --runs runs/v2_surface_d3:surface:3:64 \
+        --runs runs/v2_surface_d5:surface:5:96 --shots 100000 --cpu
+
+Writes benchmarks/LER_TABLE.md and prints one JSON line per (d, p).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", action="append", required=True,
+                    help="ckpt_dir:family:distance:hidden[:rounds[:head]]")
+    ap.add_argument("--ps", type=float, nargs="+", default=[0.01, 0.02, 0.03, 0.05])
+    ap.add_argument("--shots", type=int, default=100_000)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "LER_TABLE.md"))
+    args = ap.parse_args()
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from tpugnn.configs import CodeConfig, ExperimentConfig, ModelConfig, TrainConfig
+    from tpugnn.eval import ler_monte_carlo
+    from tpugnn.eval.baseline import ler_union_find
+    from tpugnn.tanner import build_code
+    from tpugnn.train.checkpoint import CheckpointManager
+    from tpugnn.train.loop import init_state
+
+    rows = []
+    for spec in args.runs:
+        parts = spec.split(":")
+        ckpt, family, d, hidden = parts[0], parts[1], int(parts[2]), int(parts[3])
+        rounds = int(parts[4]) if len(parts) > 4 else 8
+        head = parts[5] if len(parts) > 5 else "pauli4"
+        cfg = ExperimentConfig(
+            code=CodeConfig(family=family, distance=d),
+            model=ModelConfig(hidden=hidden, msg_hidden=hidden, rounds=rounds,
+                              backend="fused", qubit_head=head),
+        )
+        graph = build_code(family, d)
+        state, model = init_state(cfg, graph)
+        restored = CheckpointManager(ckpt).restore_latest(state)
+        if restored is None:
+            print(f"skip {spec}: no checkpoint", file=sys.stderr)
+            continue
+        for p in args.ps:
+            ev = ler_monte_carlo(model.apply, restored.params, graph, p=p,
+                                 shots=args.shots, batch=4096,
+                                 key=jax.random.PRNGKey(777))
+            uf = ler_union_find(graph, p=p, shots=args.shots, batch=4096,
+                                key=jax.random.PRNGKey(777))
+            row = {"family": family, "d": d, "p": p,
+                   "gnn_hybrid": ev.get("ler_hybrid"),
+                   "gnn_logical": ev.get("ler_logical"),
+                   "gnn_per_qubit": ev["ler"],
+                   "stderr": ev["ler_stderr"], "uf": uf["ler"]}
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+
+    with open(args.out, "w") as f:
+        f.write("# Logical error rate: GNN decoder vs union-find\n\n")
+        f.write(f"Monte-Carlo, {args.shots} shots per point; stderr ~ binomial.\n\n")
+        f.write("| family | d | p | GNN hybrid | GNN logical-head | GNN per-qubit | union-find |\n")
+        f.write("|---|---|---|---|---|---|---|\n")
+        for r in rows:
+            f.write(
+                f"| {r['family']} | {r['d']} | {r['p']} | "
+                f"{r['gnn_hybrid']:.4g} | {r['gnn_logical']:.4g} | "
+                f"{r['gnn_per_qubit']:.4g} | {r['uf']:.4g} |\n"
+            )
+    print(f"wrote {args.out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
