@@ -110,3 +110,50 @@ def test_pure_error_tables():
     ex0 = jnp.mod(s @ g.pure_ex.T, 2.0)
     ez0 = jnp.mod(s @ g.pure_ez.T, 2.0)
     assert bool(jnp.all(syndrome(g, ex0, ez0) == s))
+
+
+def test_steane_code():
+    """[[7,1,3]]: generic-CSS path handles a non-lattice color code."""
+    g = build_code("steane", 3)
+    assert (g.n_checks, g.n_qubits, g.k) == (6, 7, 1)
+    lx = np.asarray(g.logicals_x)[:, :7]
+    lz = np.asarray(g.logicals_z)[:, :7]
+    assert lx.sum() >= 3 and lz.sum() >= 3  # distance 3
+    # brute force: no weight<3 logical
+    from itertools import combinations
+
+    hx_rows = np.asarray(g.h_syn_ez)[: g.n_checks, :7]
+    hx = hx_rows[hx_rows.sum(1) > 0]
+    hz_rows = np.asarray(g.h_syn_ex)[: g.n_checks, :7]
+    hz = hz_rows[hz_rows.sum(1) > 0]
+    for w in (1, 2):
+        for qs in combinations(range(7), w):
+            e = np.zeros(7, np.uint8)
+            e[list(qs)] = 1
+            if not ((hz @ e) % 2).any():
+                assert f2.in_rowspace(e, hx)
+
+
+def test_steane_decodes():
+    """The decoder stack runs unchanged on the Steane code."""
+    import jax
+    from tpugnn.configs import CodeConfig, ExperimentConfig, ModelConfig, TrainConfig
+    from tpugnn.train import train
+
+    cfg = ExperimentConfig(
+        code=CodeConfig(family="steane", distance=3, p=0.05),
+        model=ModelConfig(hidden=16, msg_hidden=16, rounds=3),
+        train=TrainConfig(batch=64, steps=40, warmup_steps=8, eval_every=40,
+                          eval_shots=256),
+    )
+    state, model, graph, hist = train(cfg, log=lambda *_: None)
+    assert np.isfinite(hist[-1]["loss"])
+
+
+def test_union_find_rejects_steane():
+    import pytest as _pytest
+    from tpugnn.baselines import UnionFindDecoder
+
+    g = build_code("steane", 3)
+    with _pytest.raises(ValueError, match="matchable"):
+        UnionFindDecoder(g)

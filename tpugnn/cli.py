@@ -21,7 +21,7 @@ __all__ = ["main", "build_config"]
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--family", default="surface", choices=["surface", "toric", "repetition"])
+    p.add_argument("--family", default="surface", choices=["surface", "toric", "repetition", "steane"])
     p.add_argument("-d", "--distance", type=int, default=3)
     p.add_argument("-p", "--error-rate", type=float, default=0.05)
     p.add_argument("--hidden", type=int, default=128)

@@ -2,6 +2,7 @@
 
 from tpugnn.tanner.graph import TannerGraph, build_tanner_graph
 from tpugnn.tanner.repetition import build_repetition_code, repetition_code_checks
+from tpugnn.tanner.steane import build_steane_code, steane_code_checks
 from tpugnn.tanner.surface import build_surface_code, surface_code_checks
 from tpugnn.tanner.toric import build_toric_code, toric_code_checks
 
@@ -9,6 +10,7 @@ _FAMILIES = {
     "surface": build_surface_code,
     "toric": build_toric_code,
     "repetition": build_repetition_code,
+    "steane": build_steane_code,
 }
 
 
@@ -24,5 +26,6 @@ def build_code(family: str, distance: int, **kw) -> TannerGraph:
 __all__ = [
     "TannerGraph", "build_tanner_graph", "build_code",
     "build_surface_code", "build_toric_code", "build_repetition_code",
-    "surface_code_checks", "toric_code_checks", "repetition_code_checks",
+    "build_steane_code", "surface_code_checks", "toric_code_checks",
+    "repetition_code_checks", "steane_code_checks",
 ]
