@@ -92,33 +92,59 @@ int uf_decode_batch(const int32_t* edge_u, const int32_t* edge_v, int E, int V,
     }
 
     // --- growth ---------------------------------------------------------
-    // round-synchronized: snapshot which vertices sit in odd clusters at
-    // the START of the round, grow exactly one edge layer around those,
-    // then re-evaluate.  (Growing against live cluster state instead lets a
-    // single sweep cascade one cluster across the whole lattice, which
-    // wrecks the correction quality.)
-    std::vector<uint8_t> odd_now(V);
-    bool any_odd = false;
-    for (int v = 0; v < V; ++v) any_odd |= dsu.odd(v);
-    int guard = 0;
-    while (any_odd) {
-      if (++guard > V + 2) return -1;
-      for (int v = 0; v < V; ++v) odd_now[v] = dsu.odd(v);
-      for (int e = 0; e < E; ++e) {
-        if (grown[e]) continue;
-        int u = edge_u[e], v = edge_v[e];
-        bool touch = odd_now[u] || (v >= 0 && odd_now[v]);
-        if (!touch) continue;
-        grown[e] = 1;
-        if (v >= 0) {
-          dsu.unite(u, v);
-        } else {
-          int r = dsu.find(u);
-          dsu.boundary[r] = 1;
+    // smallest-cluster-first HALF-edge growth (Delfosse-Nickerson): grow
+    // the smallest odd cluster's boundary edges by +1; an edge joins at
+    // growth >= 2.  This recovers the sub-threshold scaling on 3-D
+    // spacetime detector graphs that full-edge growth loses.
+    std::vector<int8_t> growth(E, 0);
+    std::vector<std::vector<int32_t>> members(V);
+    std::vector<std::vector<int32_t>> vadj(V);
+    for (int v = 0; v < V; ++v) members[v] = {v};
+    for (int e = 0; e < E; ++e) {
+      vadj[edge_u[e]].push_back(e);
+      if (edge_v[e] >= 0) vadj[edge_v[e]].push_back(e);
+    }
+    std::vector<int32_t> newly;
+    long guard = 0;
+    const long guard_max = 4L * E + 2L * V + 4;
+    while (true) {
+      // smallest odd root
+      int best = -1;
+      size_t best_size = 0;
+      for (int v = 0; v < V; ++v) {
+        if (dsu.parent[v] != v || !dsu.parity[v] || dsu.boundary[v]) continue;
+        size_t sz = members[v].size();
+        if (best < 0 || sz < best_size) { best = v; best_size = sz; }
+      }
+      if (best < 0) break;
+      if (++guard > guard_max) return -1;
+      newly.clear();
+      for (int32_t v : members[best]) {
+        for (int32_t e : vadj[v]) {
+          if (grown[e]) continue;
+          if (++growth[e] >= 2) {
+            grown[e] = 1;
+            newly.push_back(e);
+          }
         }
       }
-      any_odd = false;
-      for (int v = 0; v < V; ++v) any_odd |= dsu.odd(v);
+      for (int32_t e : newly) {
+        int u = edge_u[e], v = edge_v[e];
+        if (v >= 0) {
+          int ru = dsu.find(u), rv = dsu.find(v);
+          if (ru != rv) {
+            int nr = dsu.unite(u, v);
+            int other = (nr == ru) ? rv : ru;
+            auto& dst = members[nr];
+            auto& src = members[other];
+            dst.insert(dst.end(), src.begin(), src.end());
+            src.clear();
+            src.shrink_to_fit();
+          }
+        } else {
+          dsu.boundary[dsu.find(u)] = 1;
+        }
+      }
     }
 
     // --- spanning forest of grown edges ---------------------------------

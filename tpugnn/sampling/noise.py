@@ -54,12 +54,14 @@ def sample_depolarizing(
     Padded qubit slots never receive errors.
     """
     u = jax.random.uniform(key, (batch, graph.n_qubits_pad))
+    if graph.rate_scale is not None:
+        # single-sector graph (spacetime/phenomenological): independent
+        # bit-flip faults at per-location rate p * rate_scale
+        ex = (u < p * graph.rate_scale).astype(jnp.float32)
+        return ex * graph.qubit_mask, jnp.zeros_like(ex)
     ex = (u < 2.0 * p / 3.0).astype(jnp.float32)
     ez = ((u >= p / 3.0) & (u < p)).astype(jnp.float32)
-    qubit_real = (
-        jnp.arange(graph.n_qubits_pad) < graph.n_qubits
-    ).astype(jnp.float32)
-    return ex * qubit_real, ez * qubit_real
+    return ex * graph.qubit_mask, ez * graph.qubit_mask
 
 
 def syndrome(graph: TannerGraph, ex: jnp.ndarray, ez: jnp.ndarray) -> jnp.ndarray:

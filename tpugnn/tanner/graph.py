@@ -120,6 +120,13 @@ class TannerGraph:
     pure_ex: jnp.ndarray       # f32[n_pad, m_pad]; ex0 = pure_ex @ s reproduces Z-check rows
     pure_ez: jnp.ndarray       # f32[n_pad, m_pad]; ez0 = pure_ez @ s reproduces X-check rows
 
+    # --- optional per-qubit noise-rate scaling ----------------------------
+    # None: depolarizing sampling at uniform rate p.  Array f32[n_pad]:
+    # single-sector bit-flip sampling at rate p * rate_scale[q] (used by
+    # spacetime/phenomenological graphs where "qubits" are fault locations
+    # with distinct data/measurement rates).
+    rate_scale: jnp.ndarray | None = None
+
     # ---------------------------------------------------------------------
     @property
     def h_inc(self) -> jnp.ndarray:
@@ -137,12 +144,20 @@ def build_tanner_graph(
     name: str,
     pad_nodes: int = 8,
     pad_edges: int = 128,
+    logicals: tuple[np.ndarray, np.ndarray] | None = None,
+    rate_scale: np.ndarray | None = None,
 ) -> TannerGraph:
     """Build the padded device graph from a CSS parity-check pair.
 
     ``hx``: [mx, n] X-stabilizer supports (detect Z errors).
     ``hz``: [mz, n] Z-stabilizer supports (detect X errors).
     Checks are laid out X-type first, then Z-type.
+
+    ``logicals=(lx, lz)`` overrides the derived logical operators — used by
+    spacetime (detector) graphs, whose *physical* failure classes are the
+    base code's logicals lifted over fault locations rather than the
+    detector matrix's own (mostly gauge) kernel.  ``rate_scale`` attaches
+    per-qubit noise-rate multipliers (see TannerGraph.rate_scale).
     """
     hx = np.asarray(hx, dtype=np.uint8).reshape(-1, hx.shape[-1]) if hx.size else np.zeros((0, hz.shape[-1]), np.uint8)
     hz = np.asarray(hz, dtype=np.uint8).reshape(-1, hz.shape[-1]) if hz.size else np.zeros((0, hx.shape[-1]), np.uint8)
@@ -155,7 +170,11 @@ def build_tanner_graph(
         assert not ((hx @ hz.T) % 2).any(), f"{name}: Hx Hz^T != 0, not CSS"
 
     # logical operators + pure-error tables (host-side GF(2) algebra)
-    lx, lz = f2.css_logicals(hx, hz)
+    if logicals is not None:
+        lx, lz = (np.asarray(v, np.uint8) for v in logicals)
+        assert lx.shape == lz.shape and lx.shape[1] == n
+    else:
+        lx, lz = f2.css_logicals(hx, hz)
     k = lx.shape[0]
     t_ez = f2.solve_right_inverse(hx)  # [n, mx]: ez0 = t_ez @ s_x
     t_ex = f2.solve_right_inverse(hz)  # [n, mz]: ex0 = t_ex @ s_z
@@ -258,4 +277,11 @@ def build_tanner_graph(
         logicals_z=jnp.asarray(lz_pad),
         pure_ex=jnp.asarray(pure_ex),
         pure_ez=jnp.asarray(pure_ez),
+        rate_scale=(
+            None
+            if rate_scale is None
+            else jnp.asarray(
+                np.pad(np.asarray(rate_scale, np.float32), (0, n_pad - n))
+            )
+        ),
     )
