@@ -38,6 +38,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--eval-every", type=int, default=500)
     p.add_argument("--eval-shots", type=int, default=4096)
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--dt", type=int, default=1,
+                   help="syndrome-measurement rounds; >1 decodes the "
+                        "phenomenological spacetime detector graph")
+    p.add_argument("--meas-ratio", type=float, default=1.0,
+                   help="measurement-fault rate relative to data-fault rate")
     p.add_argument("--cpu", action="store_true", help="force the CPU platform")
 
 
@@ -102,13 +107,21 @@ def main(argv: list[str] | None = None) -> int:
 
     cfg = build_config(args)
 
+    def _graph():
+        if args.dt > 1:
+            from tpugnn.tanner.spacetime import build_spacetime_code
+
+            return build_spacetime_code(cfg.code.family, cfg.code.distance,
+                                        args.dt, meas_ratio=args.meas_ratio)
+        return build_code(cfg.code.family, cfg.code.distance)
+
     if args.cmd == "train":
-        _, _, _, history = train_fn(cfg)
+        _, _, _, history = train_fn(cfg, graph=_graph())
         print(json.dumps(history[-1] if history else {}))
         return 0
 
     if args.cmd in ("eval", "sweep"):
-        graph = build_code(cfg.code.family, cfg.code.distance)
+        graph = _graph()
         if cfg.train.checkpoint_dir:
             state, model = init_state(cfg, graph)
             from tpugnn.train.checkpoint import CheckpointManager
