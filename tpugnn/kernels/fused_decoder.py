@@ -37,9 +37,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
-    "RoundWeights", "decoder_rounds", "make_operators", "rounds_xla",
-    "make_differentiable_rounds",
+    "RoundWeights", "decoder_rounds", "decoder_rounds_tiled", "make_operators",
+    "rounds_xla", "make_differentiable_rounds", "pick_block_batch",
 ]
+
+# VMEM auto-sizing knobs (see decoder_rounds); module-level so perf probes
+# can override them
+_VMEM_BUDGET = 15 * 1024 * 1024
+_VMEM_COEF = 8.0
+
+
+def pick_block_batch(slots: int, mh: int, itemsize: int, batch: int,
+                     block_batch: int = 16) -> int:
+    """Largest batch tile fitting the VMEM budget (and dividing the batch)."""
+    tb = block_batch
+    while tb > 1 and _VMEM_COEF * slots * tb * mh * itemsize > _VMEM_BUDGET:
+        tb //= 2
+    while batch % tb:
+        tb //= 2
+    return max(tb, 1)
 
 
 class RoundWeights(NamedTuple):
@@ -239,40 +255,69 @@ def decoder_rounds(
         interpret = jax.default_backend() != "tpu"
     b, m, h = xc0.shape
     n = xq0.shape[1]
-    g_c, mask_c, deg_c, g_q, mask_q, deg_q = operators
-    dc = g_c.shape[0] // m
-    dq = g_q.shape[0] // n
+    g_c = operators[0]
     mh = weights.wd_c.shape[1]
     cdt = jnp.dtype(compute_dtype)
-    # auto-size the batch tile to the 16MB VMEM budget; Mosaic scoped-vmem
-    # reports at d=11 put the stack at ~8 * slots * TB * MH * itemsize
-    slots = max(g_c.shape[0], g_q.shape[0])
-    budget = 15 * 1024 * 1024
-    tb = block_batch
-    while tb > 1 and 8.0 * slots * tb * mh * cdt.itemsize > budget:
-        tb //= 2
-    while b % tb:
-        tb //= 2
-    tb = max(tb, 1)
+    slots = max(operators[0].shape[0], operators[3].shape[0])
+    tb = pick_block_batch(slots, mh, cdt.itemsize, b, block_batch)
     nblk = b // tb
 
-    # [B, rows, F] -> [nblk, rows, TB, F] (XLA transpose, amortized once)
+    # [B, rows, F] -> [nblk, rows, TB, F] (XLA transpose, amortized once);
+    # input tiles travel in the compute dtype (halves the double-buffered
+    # VMEM IO footprint in bf16); outputs stay f32
     def to_tiles(x, rows, f):
         return x.reshape(nblk, tb, rows, f).transpose(0, 2, 1, 3)
 
-    # input tiles travel in the compute dtype (halves the double-buffered
-    # VMEM IO footprint in bf16); outputs stay f32
     xc_t = to_tiles(xc0.astype(cdt), m, h)
     xq_t = to_tiles(xq0.astype(cdt), n, h)
     # syndrome term of the check update, pre-multiplied by uc_s (outer
     # products with double sublane+lane broadcasts don't lower in bf16)
     syn_ucs = to_tiles((syn * weights.uc_s[0]).astype(cdt), m, h)
 
-    # masks pre-reshaped to 3-D in f32 (bf16 minor-dim reshapes are
-    # unsupported by Mosaic; the kernel casts after load); degree x out-bias
-    # folded into one [rows, 1, H] f32 operand
-    # pre-expand masks over the lane (feature) dim so the kernel's multiply
-    # only broadcasts sublanes (bf16 double-broadcasts don't lower)
+    xc_o, xq_o = decoder_rounds_tiled(
+        xc_t, xq_t, syn_ucs, operators, weights,
+        rounds=rounds, interpret=interpret, compute_dtype=compute_dtype,
+    )
+
+    def from_tiles(x, rows, f):
+        return x.transpose(0, 2, 1, 3).reshape(b, rows, f)
+
+    return from_tiles(xc_o, m, h), from_tiles(xq_o, n, h)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rounds", "interpret", "compute_dtype")
+)
+def decoder_rounds_tiled(
+    xc_t: jnp.ndarray,     # [nblk, M, TB, H] compute dtype
+    xq_t: jnp.ndarray,     # [nblk, N, TB, H]
+    syn_ucs: jnp.ndarray,  # [nblk, M, TB, H] (syndrome feature * uc_s)
+    operators: tuple,      # from make_operators(graph)
+    weights: RoundWeights,
+    *,
+    rounds: int,
+    interpret: bool | None = None,
+    compute_dtype: str = "bfloat16",
+):
+    """Tiled-layout core: inputs/outputs already in [nblk, rows, TB, F].
+
+    Callers that can produce embeddings directly in the tiled layout (the
+    PallasDecoder does) skip the four large state transposes that the
+    [B, rows, F] wrapper pays.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nblk, m, tb, h = xc_t.shape
+    n = xq_t.shape[1]
+    b = nblk * tb
+    g_c, mask_c, deg_c, g_q, mask_q, deg_q = operators
+    dc = g_c.shape[0] // m
+    dq = g_q.shape[0] // n
+    mh = weights.wd_c.shape[1]
+    cdt = jnp.dtype(compute_dtype)
+
+    # masks pre-expanded over the lane dim; degree x out-bias folded into one
+    # [rows, 1, H] f32 operand (Mosaic bf16 lowering constraints)
     mask_c = jnp.broadcast_to(mask_c.reshape(-1, 1, 1), (g_c.shape[0], 1, mh))
     mask_q = jnp.broadcast_to(mask_q.reshape(-1, 1, 1), (g_q.shape[0], 1, mh))
     degbo_c = (deg_c.reshape(-1, 1, 1) * weights.bo_c[0]).astype(jnp.float32)
@@ -308,7 +353,7 @@ def decoder_rounds(
         m * h * mh + n * h * mh + m * dc * n * mh + n * h * mh + m * h * mh
         + n * dq * m * mh + m * mh * h + n * mh * h + 4 * m * h * h + 4 * n * h * h
     )
-    xc_o, xq_o = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((nblk, m, tb, h), jnp.float32),
@@ -332,11 +377,6 @@ def decoder_rounds(
         ),
         interpret=interpret,
     )(xc_t, xq_t, syn_ucs, *ops, *packs)
-
-    def from_tiles(x, rows, f):
-        return x.transpose(0, 2, 1, 3).reshape(b, rows, f)
-
-    return from_tiles(xc_o, m, h), from_tiles(xq_o, n, h)
 
 
 # ---------------------------------------------------------------------------

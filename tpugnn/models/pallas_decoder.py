@@ -74,6 +74,11 @@ class PallasDecoder:
         self._diff_cache: dict = {}
 
     def apply(self, params, graph: TannerGraph, syndrome: jnp.ndarray) -> DecoderOutput:
+        if not self.trainable:
+            return self._apply_tiled(params, graph, syndrome)
+        return self._apply_batched(params, graph, syndrome)
+
+    def _apply_batched(self, params, graph: TannerGraph, syndrome: jnp.ndarray) -> DecoderOutput:
         cfg = self.cfg
         p = params["params"]
         batch = syndrome.shape[0]
@@ -124,6 +129,84 @@ class PallasDecoder:
             qsum = jnp.sum(x_q * qm[:, None], axis=-2) / graph.n_qubits
             csum = jnp.sum(x_c * cm[:, None], axis=-2) / graph.n_checks
             pooled = jnp.concatenate([qsum, csum], axis=-1)
+            logical_logits = _mlp2(pooled, p["head_logical_d0"], p["head_logical_d1"])
+        if qubit_logits is None:
+            qubit_logits = jnp.zeros((batch, n_pad, 2), jnp.float32)
+        return DecoderOutput(qubit_logits=qubit_logits, logical_logits=logical_logits)
+
+    def _apply_tiled(self, params, graph: TannerGraph, syndrome: jnp.ndarray) -> DecoderOutput:
+        """Inference path with embed/readout in the kernel's tiled layout.
+
+        Produces node states directly as [nblk, rows, TB, H], skipping the
+        four large state transposes of the batched wrapper; only the small
+        syndrome/logit tensors are ever transposed.
+        """
+        import jax
+
+        from tpugnn.kernels.fused_decoder import (
+            decoder_rounds_tiled,
+            pick_block_batch,
+        )
+
+        cfg = self.cfg
+        p = params["params"]
+        batch = syndrome.shape[0]
+        m_pad, n_pad = graph.n_checks_pad, graph.n_qubits_pad
+        cm, qm = graph.check_mask, graph.qubit_mask
+        cdt = jnp.dtype(cfg.dtype)
+        ops = make_operators(graph)
+        slots = max(ops[0].shape[0], ops[3].shape[0])
+        tb = pick_block_batch(slots, cfg.msg_hidden, cdt.itemsize, batch)
+        nblk = batch // tb
+        w = roundweights_from_flax(p["rounds"])
+
+        # syndrome -> tiled [nblk, M, TB] (small transpose)
+        s_pm = ((2.0 * syndrome - 1.0) * cm).reshape(nblk, tb, m_pad)
+        s_pm = s_pm.transpose(0, 2, 1)
+        # tiled embed: features on the last axis, MLPs are layout-agnostic
+        is_x = jnp.broadcast_to(
+            graph.check_is_x[None, :, None] * cm[None, :, None], (nblk, m_pad, tb)
+        )
+        inv_x = jnp.broadcast_to(
+            (1.0 - graph.check_is_x)[None, :, None] * cm[None, :, None],
+            (nblk, m_pad, tb),
+        )
+        pos_c = jnp.broadcast_to(
+            graph.check_feat[None, :, None, :],
+            (nblk, m_pad, tb, graph.check_feat.shape[-1]),
+        )
+        check_in = jnp.concatenate(
+            [jnp.stack([s_pm, is_x, inv_x], axis=-1), pos_c], axis=-1
+        )
+        xc_t = (
+            _mlp2(check_in, p["embed_check_d0"], p["embed_check_d1"])
+            * cm[None, :, None, None]
+        ).astype(cdt)
+        xq0 = _mlp2(graph.qubit_feat, p["embed_qubit_d0"], p["embed_qubit_d1"])
+        xq_t = jnp.broadcast_to(
+            (xq0 * qm[:, None])[None, :, None, :], (nblk, n_pad, tb, cfg.hidden)
+        ).astype(cdt)
+        syn_ucs = (s_pm[..., None] * w.uc_s[0]).astype(cdt)
+
+        xc_o, xq_o = decoder_rounds_tiled(
+            xc_t, xq_t, syn_ucs, ops, w,
+            rounds=cfg.rounds, interpret=self.interpret, compute_dtype=cfg.dtype,
+        )
+
+        qubit_logits = None
+        logical_logits = None
+        if cfg.readout in ("per_qubit", "both"):
+            hq = p["head_qubit"]
+            ql_t = xq_o @ hq["kernel"] + hq["bias"]       # [nblk, N, TB, w]
+            qubit_logits = ql_t.transpose(0, 2, 1, 3).reshape(
+                batch, n_pad, ql_t.shape[-1]
+            )
+        if cfg.readout in ("logical", "both"):
+            qsum = jnp.sum(xq_o * qm[None, :, None, None], axis=1)   # [nblk, TB, H]
+            csum = jnp.sum(xc_o * cm[None, :, None, None], axis=1)
+            pooled = jnp.concatenate(
+                [qsum / graph.n_qubits, csum / graph.n_checks], axis=-1
+            ).reshape(batch, -1)
             logical_logits = _mlp2(pooled, p["head_logical_d0"], p["head_logical_d1"])
         if qubit_logits is None:
             qubit_logits = jnp.zeros((batch, n_pad, 2), jnp.float32)
