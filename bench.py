@@ -102,14 +102,22 @@ def bench_backend(backend: str, *, d: int, batch: int, rounds: int, hidden: int,
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small config (CI smoke)")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU platform")
     ap.add_argument("--d", type=int, default=11)
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--rounds", type=int, default=8)
     ap.add_argument("--hidden", type=int, default=128)
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the best backend")
     ap.add_argument("--all-backends", action="store_true",
                     help="also bench the fused/ell XLA paths (adds two slow "
                          "remote compiles)")
     args = ap.parse_args()
+    if args.cpu:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        jax.config.update("jax_platforms", "cpu")
     if args.quick:
         args.d, args.batch, args.rounds, args.hidden = 3, 256, 4, 32
     iters = 3 if args.quick else 5
@@ -163,6 +171,14 @@ def main() -> int:
         line["pct_sol"] = round(cost.pct_sol(best["step_time_s"]), 1)
     except Exception:
         pass
+    if args.profile:
+        import importlib
+
+        best_mod = results[best_name]
+        with jax.profiler.trace(args.profile):
+            bench_backend(best_name, d=args.d, batch=args.batch,
+                          rounds=args.rounds, hidden=args.hidden, iters=1)
+        line["profile_dir"] = args.profile
     print(json.dumps(line))
     return 0
 
