@@ -39,6 +39,8 @@ class ModelConfig:
                                     # backends only)
     aggr: str = "sum"               # sum | mean | max
     backend: str = "segment"        # segment | dense | ell | fused | pallas
+    remat: bool = False             # jax.checkpoint each round (trade FLOPs
+                                    # for activation memory in training)
     readout: str = "both"           # per_qubit | logical | both
     qubit_head: str = "bits"        # bits (2 sigmoid: ex, ez) | pauli4
                                     # (4-way softmax I/X/Z/Y; models the

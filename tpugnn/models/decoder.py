@@ -165,6 +165,10 @@ class GNNDecoder(nn.Module):
             cell_cls = FusedRoundCell
         else:
             cell_cls = RoundCell
+        if cfg.remat:
+            # rematerialize each round in the backward pass: activation
+            # memory drops from O(R * B * edges * MH) to one round's worth
+            cell_cls = nn.remat(cell_cls, prevent_cse=False)
         if cfg.weight_tied:
             scan = nn.scan(
                 cell_cls,
