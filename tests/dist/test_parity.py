@@ -100,3 +100,49 @@ def test_halo_modes_agree(devices8):
     np.testing.assert_allclose(
         np.asarray(outs[0].logical_logits), np.asarray(outs[1].logical_logits), atol=1e-5
     )
+
+
+@pytest.mark.parametrize("halo", ["gather", "alltoall"])
+def test_edge_attr_parity(halo, devices8):
+    """Per-edge attributes reach the message fn identically on both paths."""
+    from jax.sharding import PartitionSpec as P
+
+    from tpugnn.dist.partition import partition_graph
+    from tpugnn.mp import NodeStates, bipartite_round
+    from tpugnn.tanner import build_code
+
+    graph = build_code("surface", 5, pad_nodes=32)
+    pg = partition_graph(graph, 4, halo=halo)
+    mesh = make_mesh(MeshConfig(data=1, graph=4), n_devices=4)
+    key = jax.random.PRNGKey(0)
+    kc, kq, ka = jax.random.split(key, 3)
+    f = 16
+    xc = jax.random.normal(kc, (graph.n_checks_pad, f)) * graph.check_mask[:, None]
+    xq = jax.random.normal(kq, (graph.n_qubits_pad, f)) * graph.qubit_mask[:, None]
+    attr = jax.random.normal(ka, (graph.n_edges_pad, f))
+
+    msg = lambda xc_e, xq_e, ea: jnp.tanh(xc_e + 2.0 * xq_e) * ea
+    upd = lambda old, agg: old + agg
+
+    ref = bipartite_round(
+        graph, NodeStates(xc, xq),
+        message_to_qubit=msg, message_to_check=msg,
+        update_check=upd, update_qubit=upd, edge_attr=attr,
+    )
+
+    def inner(pg_, xc_, xq_, attr_):
+        out = bipartite_round(
+            pg_.local(), NodeStates(xc_, xq_),
+            message_to_qubit=msg, message_to_check=msg,
+            update_check=upd, update_qubit=upd, edge_attr=attr_,
+        )
+        return out.check, out.qubit
+
+    smap = jax.shard_map(
+        inner, mesh=mesh, axis_names={"graph"},
+        in_specs=(P("graph"), P("graph"), P("graph"), P()),
+        out_specs=(P("graph"), P("graph")),
+    )
+    got_c, got_q = jax.jit(smap)(pg, xc, xq, attr)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(ref.check), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_q), np.asarray(ref.qubit), atol=1e-5)

@@ -56,3 +56,28 @@ def test_odd_batch_sizes():
             g.n_qubits_pad, "sum",
         )
         np.testing.assert_allclose(np.asarray(got), ref, atol=1e-4)
+
+
+@pytest.mark.parametrize("family,d", [("surface", 3), ("toric", 3)])
+def test_pallas_max_matches_oracle(family, d):
+    g = build_code(family, d)
+    msg = jax.random.normal(jax.random.PRNGKey(2), (8, g.n_edges_pad, 128))
+    got = ell_aggregate(msg, g.ell_check_edge, g.ell_check_mask, agg="max")
+    ref = scatter_agg_oracle(
+        np.asarray(msg), np.asarray(g.edge_check), np.asarray(g.edge_mask),
+        g.n_checks_pad, "max",
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5)
+
+
+def test_pallas_max_through_mp_all_negative():
+    # rows whose every message is negative must keep their true (negative)
+    # max; only empty rows are zeroed
+    g = build_code("surface", 3)
+    msg = -jnp.abs(jax.random.normal(jax.random.PRNGKey(3), (4, g.n_edges_pad, 128))) - 0.5
+    a = aggregate_to_checks(g, msg, backend="pallas", agg="max")
+    b = aggregate_to_checks(g, msg, backend="segment", agg="max")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    aq = aggregate_to_qubits(g, msg, backend="pallas", agg="max")
+    bq = aggregate_to_qubits(g, msg, backend="ell", agg="max")
+    np.testing.assert_allclose(np.asarray(aq), np.asarray(bq), atol=1e-5)

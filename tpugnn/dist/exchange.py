@@ -49,6 +49,18 @@ def _segment(msg, dst, rows, agg, deg):
     return out
 
 
+def _local_attr(edge_attr, eid):
+    """Gather shard-local rows of the canonical per-edge attribute table.
+
+    Edge attributes are static graph data (small: [E_pad, A]) replicated on
+    every shard, so the gather is purely local; padded slots pick row 0 and
+    are zeroed by the edge mask after the message function.
+    """
+    if edge_attr is None:
+        return None
+    return jnp.take(edge_attr, eid, axis=-2)
+
+
 def sharded_propagate(
     view: LocalGraphView,
     x_check: jnp.ndarray,
@@ -61,21 +73,21 @@ def sharded_propagate(
     update_fn=None,
 ) -> jnp.ndarray:
     """Directed propagate on one shard: halo-gather sources, aggregate locally."""
-    if edge_attr is not None:
-        raise NotImplementedError("edge_attr is not supported on the sharded path yet")
     ax = view.mesh_axis
     if to == "check":
         x_src_all = jax.lax.all_gather(x_qubit, ax, axis=-2, tiled=True)
         xc_e = jnp.take(x_check, view.c_dst, axis=-2)
         xq_e = jnp.take(x_src_all, view.c_src, axis=-2)
-        msg = message_fn(xc_e, xq_e, None) * view.c_mask[:, None]
+        msg = message_fn(xc_e, xq_e, _local_attr(edge_attr, view.c_eid))
+        msg = msg * view.c_mask[:, None]
         out = _segment(msg, view.c_dst, view.n_checks_pad, aggr, view.check_deg)
         old = x_check
     elif to == "qubit":
         x_src_all = jax.lax.all_gather(x_check, ax, axis=-2, tiled=True)
         xq_e = jnp.take(x_qubit, view.q_dst, axis=-2)
         xc_e = jnp.take(x_src_all, view.q_src, axis=-2)
-        msg = message_fn(xc_e, xq_e, None) * view.q_mask[:, None]
+        msg = message_fn(xc_e, xq_e, _local_attr(edge_attr, view.q_eid))
+        msg = msg * view.q_mask[:, None]
         out = _segment(msg, view.q_dst, view.n_qubits_pad, aggr, view.qubit_deg)
         old = x_qubit
     else:
@@ -102,7 +114,7 @@ def _halo_exchange(x_local, send_idx, send_mask, axis):
 
 
 def _alltoall_round(view, state, message_to_qubit, message_to_check,
-                    update_check, update_qubit, aggr):
+                    update_check, update_qubit, aggr, edge_attr=None):
     """Boundary-only halo exchange with interior/boundary overlap.
 
     The all_to_all consumes only boundary node features; interior messages
@@ -120,23 +132,27 @@ def _alltoall_round(view, state, message_to_qubit, message_to_check,
     # interior (purely local)
     xc_i = jnp.take(state.check, view.ci_dst, axis=-2)
     xq_i = jnp.take(state.qubit, view.ci_src, axis=-2)
-    m_ci = message_to_check(xc_i, xq_i, None) * view.ci_mask[:, None]
+    m_ci = message_to_check(xc_i, xq_i, _local_attr(edge_attr, view.ci_eid))
+    m_ci = m_ci * view.ci_mask[:, None]
     agg_c = _segment(m_ci, view.ci_dst, view.n_checks_pad, "sum", view.check_deg)
 
     xq_i2 = jnp.take(state.qubit, view.qi_dst, axis=-2)
     xc_i2 = jnp.take(state.check, view.qi_src, axis=-2)
-    m_qi = message_to_qubit(xc_i2, xq_i2, None) * view.qi_mask[:, None]
+    m_qi = message_to_qubit(xc_i2, xq_i2, _local_attr(edge_attr, view.qi_eid))
+    m_qi = m_qi * view.qi_mask[:, None]
     agg_q = _segment(m_qi, view.qi_dst, view.n_qubits_pad, "sum", view.qubit_deg)
 
     # boundary (consumes the halo buffers)
     xc_b = jnp.take(state.check, view.cb_dst, axis=-2)
     xq_b = jnp.take(q_halo, view.cb_src, axis=-2)
-    m_cb = message_to_check(xc_b, xq_b, None) * view.cb_mask[:, None]
+    m_cb = message_to_check(xc_b, xq_b, _local_attr(edge_attr, view.cb_eid))
+    m_cb = m_cb * view.cb_mask[:, None]
     agg_c = agg_c + _segment(m_cb, view.cb_dst, view.n_checks_pad, "sum", view.check_deg)
 
     xq_b2 = jnp.take(state.qubit, view.qb_dst, axis=-2)
     xc_b2 = jnp.take(c_halo, view.qb_src, axis=-2)
-    m_qb = message_to_qubit(xc_b2, xq_b2, None) * view.qb_mask[:, None]
+    m_qb = message_to_qubit(xc_b2, xq_b2, _local_attr(edge_attr, view.qb_eid))
+    m_qb = m_qb * view.qb_mask[:, None]
     agg_q = agg_q + _segment(m_qb, view.qb_dst, view.n_qubits_pad, "sum", view.qubit_deg)
 
     if aggr == "mean":
@@ -171,12 +187,10 @@ def sharded_bipartite_round(
     aggregation); 'gather' all_gathers full node blocks (simple fallback;
     also used for max aggregation).
     """
-    if edge_attr is not None:
-        raise NotImplementedError("edge_attr is not supported on the sharded path yet")
     if view.halo == "alltoall" and aggr in ("sum", "mean"):
         return _alltoall_round(
             view, state, message_to_qubit, message_to_check,
-            update_check, update_qubit, aggr,
+            update_check, update_qubit, aggr, edge_attr,
         )
     ax = view.mesh_axis
     xq_all = jax.lax.all_gather(state.qubit, ax, axis=-2, tiled=True)
@@ -185,13 +199,15 @@ def sharded_bipartite_round(
     # check-direction: local check endpoints, halo qubit endpoints
     xc_e = jnp.take(state.check, view.c_dst, axis=-2)
     xq_e = jnp.take(xq_all, view.c_src, axis=-2)
-    m_c = message_to_check(xc_e, xq_e, None) * view.c_mask[:, None]
+    m_c = message_to_check(xc_e, xq_e, _local_attr(edge_attr, view.c_eid))
+    m_c = m_c * view.c_mask[:, None]
     agg_c = _segment(m_c, view.c_dst, view.n_checks_pad, aggr, view.check_deg)
 
     # qubit-direction: local qubit endpoints, halo check endpoints
     xq_e2 = jnp.take(state.qubit, view.q_dst, axis=-2)
     xc_e2 = jnp.take(xc_all, view.q_src, axis=-2)
-    m_q = message_to_qubit(xc_e2, xq_e2, None) * view.q_mask[:, None]
+    m_q = message_to_qubit(xc_e2, xq_e2, _local_attr(edge_attr, view.q_eid))
+    m_q = m_q * view.q_mask[:, None]
     agg_q = _segment(m_q, view.q_dst, view.n_qubits_pad, aggr, view.qubit_deg)
 
     from tpugnn.mp.propagate import NodeStates

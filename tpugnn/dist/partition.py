@@ -97,6 +97,16 @@ class LocalGraphView:
     csend_idx: jnp.ndarray | None = None
     csend_mask: jnp.ndarray | None = None
 
+    # canonical edge ids per local edge slot (indexes the GLOBAL padded edge
+    # axis) — lets the sharded path gather per-edge attributes locally, since
+    # edge attribute tables are small static graph data replicated everywhere
+    c_eid: jnp.ndarray | None = None   # i32[Ec]
+    q_eid: jnp.ndarray | None = None   # i32[Eq]
+    ci_eid: jnp.ndarray | None = None
+    cb_eid: jnp.ndarray | None = None
+    qi_eid: jnp.ndarray | None = None
+    qb_eid: jnp.ndarray | None = None
+
 
 @struct.dataclass
 class PartitionedGraph:
@@ -150,6 +160,14 @@ class PartitionedGraph:
     csend_idx: jnp.ndarray | None = None
     csend_mask: jnp.ndarray | None = None
 
+    # canonical edge ids (see LocalGraphView)
+    c_eid: jnp.ndarray | None = None
+    q_eid: jnp.ndarray | None = None
+    ci_eid: jnp.ndarray | None = None
+    cb_eid: jnp.ndarray | None = None
+    qi_eid: jnp.ndarray | None = None
+    qb_eid: jnp.ndarray | None = None
+
     def local(self) -> LocalGraphView:
         """Squeeze the shard axis (call inside shard_map, where P-slice = 1)."""
         sq = lambda a: None if a is None else a[0]
@@ -170,6 +188,9 @@ class PartitionedGraph:
             qi_dst=sq(self.qi_dst), qi_src=sq(self.qi_src), qi_mask=sq(self.qi_mask),
             qb_dst=sq(self.qb_dst), qb_src=sq(self.qb_src), qb_mask=sq(self.qb_mask),
             csend_idx=sq(self.csend_idx), csend_mask=sq(self.csend_mask),
+            c_eid=sq(self.c_eid), q_eid=sq(self.q_eid),
+            ci_eid=sq(self.ci_eid), cb_eid=sq(self.cb_eid),
+            qi_eid=sq(self.qi_eid), qb_eid=sq(self.qb_eid),
         )
 
 
@@ -184,14 +205,14 @@ def _halo_tables(dst, src, n_parts, dst_block, src_block, pad=8):
     """
     P = n_parts
     interior = [[] for _ in range(P)]
-    boundary = [[] for _ in range(P)]   # (dst_local, sender, src_global)
+    boundary = [[] for _ in range(P)]   # (dst_local, sender, src_global, eid)
     needed: dict[tuple[int, int], list[int]] = {}
-    for d, s in zip(dst.tolist(), src.tolist()):
+    for e, (d, s) in enumerate(zip(dst.tolist(), src.tolist())):
         p, o = d // dst_block, s // src_block
         if o == p:
-            interior[p].append((d - p * dst_block, s - p * src_block))
+            interior[p].append((d - p * dst_block, s - p * src_block, e))
         else:
-            boundary[p].append((d - p * dst_block, o, s))
+            boundary[p].append((d - p * dst_block, o, s, e))
             lst = needed.setdefault((p, o), [])
             if s not in lst:
                 lst.append(s)
@@ -211,20 +232,24 @@ def _halo_tables(dst, src, n_parts, dst_block, src_block, pad=8):
     i_dst = np.full((P, ei), dst_block - 1, np.int32)
     i_src = np.full((P, ei), src_block - 1, np.int32)
     i_mask = np.zeros((P, ei), np.float32)
+    i_eid = np.zeros((P, ei), np.int32)
     b_dst = np.full((P, eb), dst_block - 1, np.int32)
     b_src = np.zeros((P, eb), np.int32)
     b_mask = np.zeros((P, eb), np.float32)
+    b_eid = np.zeros((P, eb), np.int32)
     for p in range(P):
-        for j, (dl, sl) in enumerate(interior[p]):
-            i_dst[p, j], i_src[p, j], i_mask[p, j] = dl, sl, 1.0
-        for j, (dl, o, s) in enumerate(boundary[p]):
+        for j, (dl, sl, e) in enumerate(interior[p]):
+            i_dst[p, j], i_src[p, j], i_mask[p, j], i_eid[p, j] = dl, sl, 1.0, e
+        for j, (dl, o, s, e) in enumerate(boundary[p]):
             b_dst[p, j] = dl
             b_src[p, j] = o * h + slot[(p, o)][s]
             b_mask[p, j] = 1.0
+            b_eid[p, j] = e
     return (
         jnp.asarray(i_dst), jnp.asarray(i_src), jnp.asarray(i_mask),
         jnp.asarray(b_dst), jnp.asarray(b_src), jnp.asarray(b_mask),
         jnp.asarray(send_idx), jnp.asarray(send_mask), h,
+        jnp.asarray(i_eid), jnp.asarray(b_eid),
     )
 
 
@@ -257,36 +282,37 @@ def partition_graph(
         d = np.full((n_parts, epad), block - 1, np.int32)
         s = np.zeros((n_parts, epad), np.int32)
         msk = np.zeros((n_parts, epad), np.float32)
+        eid = np.zeros((n_parts, epad), np.int32)
         for p in range(n_parts):
             sel = np.where(owners == p)[0][per[p]]
             c = counts[p]
             d[p, :c] = dst[sel] - p * block
             s[p, :c] = src[sel]
             msk[p, :c] = 1.0
-        return d, s, msk, epad, counts
+            eid[p, :c] = sel
+        return d, s, msk, epad, counts, eid
 
-    c_dst, c_src, c_mask, ec_pad, c_counts = lists(ec, eq, mb)
-    q_dst, q_src, q_mask, eq_pad, q_counts = lists(eq, ec, nb)
+    c_dst, c_src, c_mask, ec_pad, c_counts, c_eid = lists(ec, eq, mb)
+    q_dst, q_src, q_mask, eq_pad, q_counts, q_eid = lists(eq, ec, nb)
     assert sum(c_counts) == graph.n_edges and sum(q_counts) == graph.n_edges
 
     def blocks(x, block):
         return np.asarray(x).reshape(n_parts, block)
 
-    halo_fields: dict = {"halo": halo}
+    halo_fields: dict = {"halo": halo, "c_eid": jnp.asarray(c_eid),
+                         "q_eid": jnp.asarray(q_eid)}
     if halo == "alltoall":
-        (ci_d, ci_s, ci_m, cb_d, cb_s, cb_m, qs_i, qs_m, hq) = _halo_tables(
-            ec, eq, n_parts, mb, nb
-        )
-        (qi_d, qi_s, qi_m, qb_d, qb_s, qb_m, cs_i, cs_m, hc) = _halo_tables(
-            eq, ec, n_parts, nb, mb
-        )
+        (ci_d, ci_s, ci_m, cb_d, cb_s, cb_m, qs_i, qs_m, hq,
+         ci_e, cb_e) = _halo_tables(ec, eq, n_parts, mb, nb)
+        (qi_d, qi_s, qi_m, qb_d, qb_s, qb_m, cs_i, cs_m, hc,
+         qi_e, qb_e) = _halo_tables(eq, ec, n_parts, nb, mb)
         halo_fields.update(
             hq=hq, hc=hc,
-            ci_dst=ci_d, ci_src=ci_s, ci_mask=ci_m,
-            cb_dst=cb_d, cb_src=cb_s, cb_mask=cb_m,
+            ci_dst=ci_d, ci_src=ci_s, ci_mask=ci_m, ci_eid=ci_e,
+            cb_dst=cb_d, cb_src=cb_s, cb_mask=cb_m, cb_eid=cb_e,
             qsend_idx=qs_i, qsend_mask=qs_m,
-            qi_dst=qi_d, qi_src=qi_s, qi_mask=qi_m,
-            qb_dst=qb_d, qb_src=qb_s, qb_mask=qb_m,
+            qi_dst=qi_d, qi_src=qi_s, qi_mask=qi_m, qi_eid=qi_e,
+            qb_dst=qb_d, qb_src=qb_s, qb_mask=qb_m, qb_eid=qb_e,
             csend_idx=cs_i, csend_mask=cs_m,
         )
     elif halo != "gather":

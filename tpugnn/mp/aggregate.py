@@ -149,11 +149,11 @@ def _aggregate(
             slot_edge, slot_mask = graph.ell_check_edge, graph.ell_check_mask
         else:
             slot_edge, slot_mask = graph.ell_qubit_edge, graph.ell_qubit_mask
-        if backend == "pallas" and agg != "max":
+        if backend == "pallas":
             from tpugnn.kernels import spmm  # local import: optional backend
 
             out = spmm.ell_aggregate(msg, slot_edge, slot_mask, agg=agg)
-        else:  # XLA ell path ('ell', or pallas+max fallback)
+        else:  # XLA ell path
             f = msg.shape[-1]
             sl = jnp.take(msg, slot_edge.reshape(-1), axis=-2)
             sl = sl.reshape(msg.shape[:-2] + slot_edge.shape + (f,))
