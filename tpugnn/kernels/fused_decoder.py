@@ -42,13 +42,17 @@ __all__ = [
 ]
 
 # VMEM auto-sizing knobs (see decoder_rounds); module-level so perf probes
-# can override them
-_VMEM_BUDGET = 15 * 1024 * 1024
-_VMEM_COEF = 8.0
+# can override them.  The coefficient is calibrated against the Mosaic
+# compiler's own scoped-allocation reports on v5e (TB=16: 23.9 MB, TB=32:
+# 41.8 MB for the d=11/H=128 kernel -> ~11-12 bytes per slot element);
+# the 64 MB ceiling was validated on hardware (TB=32 compiles and runs).
+_VMEM_BUDGET = 56 * 1024 * 1024
+_VMEM_COEF = 12.0
+_VMEM_LIMIT = 64 * 1024 * 1024  # Mosaic scoped-VMEM ceiling for the kernel
 
 
 def pick_block_batch(slots: int, mh: int, itemsize: int, batch: int,
-                     block_batch: int = 16) -> int:
+                     block_batch: int = 32) -> int:
     """Largest batch tile fitting the VMEM budget (and dividing the batch)."""
     tb = block_batch
     while tb > 1 and _VMEM_COEF * slots * tb * mh * itemsize > _VMEM_BUDGET:
@@ -133,7 +137,7 @@ def _make_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt):
         return r.reshape(a.shape[0], a.shape[1], b.shape[-1])
 
     def gdot(g, y):
-        # g: [slots, rows] x y: [rows, TB, F] -> [slots, TB, F].
+        # g: [rows, src_rows] x y: [src_rows, TB, F] -> [rows, TB, F].
         # (Mosaic requires 32-bit matmul accumulators, so the one-hot
         # gather GEMM accumulates in f32 even though bf16 would be exact.)
         r = jnp.dot(
@@ -172,22 +176,24 @@ def _make_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt):
         # uc_s weight row OUTSIDE the kernel (round-invariant; avoids a
         # sublane+lane double broadcast Mosaic can't lower in bf16)
         syn_ucs = syn_ucs_ref[0].astype(cdt)  # [M, TB, H]
-        g_c = g_c_ref[:].astype(cdt)    # [M*Dc, N]
-        g_q = g_q_ref[:].astype(cdt)    # [N*Dq, M]
-        mask_c = mask_c_ref[:].astype(cdt)    # [M*Dc, 1, 1] (pre-reshaped)
+        g_c = g_c_ref[:].astype(cdt)    # [Dc, M, N] slot-major gather op
+        g_q = g_q_ref[:].astype(cdt)    # [Dq, N, M]
+        mask_c = mask_c_ref[:].astype(cdt)    # [Dc, M, 1, MH] (pre-expanded)
         mask_q = mask_q_ref[:].astype(cdt)
         degbo_c = degbo_c_ref[:]              # [M, 1, H] f32: deg * b_out
         degbo_q = degbo_q_ref[:]
 
-        def slot_sum(zs, yd, b0, mask, rows, d):
-            # zs: [rows*D, TB, MH] slot-gathered sources; accumulate
-            # relu(zs_k + yd + b0)*mask_k one slot-chunk at a time so only
-            # ONE slot-wide tensor is ever live (VMEM: ~1x instead of ~3x)
-            zs4 = zs.reshape(rows, d, TB, MH)
-            m4 = mask.reshape(rows, d, 1, MH)
-            hs = jax.nn.relu(zs4[:, 0] + yd + b0) * m4[:, 0]
-            for k in range(1, d):
-                hs = hs + jax.nn.relu(zs4[:, k] + yd + b0) * m4[:, k]
+        def slot_sum(g, ys, yd, b0, mask, d):
+            # slot-chunked gather+reduce: one [rows, src] x [src, TB*MH]
+            # GEMM per slot k, consumed immediately, so the only live
+            # slot tensor is [rows, TB, MH] (never [rows*D, TB, MH]) —
+            # this is what lets TB grow within the VMEM budget.
+            # g: [D, rows, src]; mask: [D, rows, 1, MH] pre-expanded.
+            hs = None
+            for k in range(d):
+                zk = gdot(g[k], ys).astype(cdt)          # [rows, TB, MH]
+                t = jax.nn.relu(zk + yd + b0) * mask[k]
+                hs = t if hs is None else hs + t
             return hs                                    # [rows, TB, MH]
 
         def round_body(_, carry):
@@ -195,14 +201,12 @@ def _make_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt):
             # --- messages into checks (src = qubits) ---------------------
             yd = dot2(xc, w.wd_c).astype(cdt)            # [M, TB, MH]
             ys = dot2(xq, w.ws_c).astype(cdt)            # [N, TB, MH]
-            zs = gdot(g_c, ys).astype(cdt)               # [M*Dc, TB, MH]
-            hs = slot_sum(zs, yd, w.b0_c, mask_c, M, Dc)
+            hs = slot_sum(g_c, ys, yd, w.b0_c, mask_c, Dc)
             agg_c = dot2(hs, w.wo_c) + degbo_c           # [M, TB, H] f32
             # --- messages into qubits (src = checks) ---------------------
             yd2 = dot2(xq, w.wd_q).astype(cdt)
             ys2 = dot2(xc, w.ws_q).astype(cdt)
-            zs2 = gdot(g_q, ys2).astype(cdt)
-            hs2 = slot_sum(zs2, yd2, w.b0_q, mask_q, N, Dq)
+            hs2 = slot_sum(g_q, ys2, yd2, w.b0_q, mask_q, Dq)
             agg_q = dot2(hs2, w.wo_q) + degbo_q
             # --- updates (residual MLP + LayerNorm) ----------------------
             hc = jax.nn.relu(
@@ -223,8 +227,11 @@ def _make_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt):
             return xc_new, xq_new
 
         xc, xq = jax.lax.fori_loop(0, R, round_body, (xc0, xq0))
-        out_xc_ref[0] = xc.astype(jnp.float32)
-        out_xq_ref[0] = xq.astype(jnp.float32)
+        # outputs travel in the compute dtype (states are already cdt-
+        # rounded, so this is lossless and halves the output IO buffers);
+        # wrappers upcast to f32 outside the kernel
+        out_xc_ref[0] = xc.astype(cdt)
+        out_xq_ref[0] = xq.astype(cdt)
 
     return kernel
 
@@ -241,7 +248,7 @@ def decoder_rounds(
     *,
     rounds: int,
     interpret: bool | None = None,
-    block_batch: int = 16,
+    block_batch: int = 32,
     compute_dtype: str = "bfloat16",
 ):
     """Run R fused message rounds; returns (xc_final, xq_final) in f32.
@@ -316,10 +323,19 @@ def decoder_rounds_tiled(
     mh = weights.wd_c.shape[1]
     cdt = jnp.dtype(compute_dtype)
 
-    # masks pre-expanded over the lane dim; degree x out-bias folded into one
-    # [rows, 1, H] f32 operand (Mosaic bf16 lowering constraints)
-    mask_c = jnp.broadcast_to(mask_c.reshape(-1, 1, 1), (g_c.shape[0], 1, mh))
-    mask_q = jnp.broadcast_to(mask_q.reshape(-1, 1, 1), (g_q.shape[0], 1, mh))
+    # operators reordered slot-major ([D, rows, src]: row index in
+    # make_operators' layout is rows*D + k) so the kernel can consume one
+    # slot GEMM at a time; masks pre-expanded over the lane dim; degree x
+    # out-bias folded into one [rows, 1, H] f32 operand (Mosaic bf16
+    # lowering constraints)
+    g_c = g_c.reshape(m, dc, -1).transpose(1, 0, 2)
+    g_q = g_q.reshape(n, dq, -1).transpose(1, 0, 2)
+    mask_c = jnp.broadcast_to(
+        mask_c.reshape(m, dc, 1, 1).transpose(1, 0, 2, 3), (dc, m, 1, mh)
+    )
+    mask_q = jnp.broadcast_to(
+        mask_q.reshape(n, dq, 1, 1).transpose(1, 0, 2, 3), (dq, n, 1, mh)
+    )
     degbo_c = (deg_c.reshape(-1, 1, 1) * weights.bo_c[0]).astype(jnp.float32)
     degbo_q = (deg_q.reshape(-1, 1, 1) * weights.bo_q[0]).astype(jnp.float32)
 
@@ -353,11 +369,19 @@ def decoder_rounds_tiled(
         m * h * mh + n * h * mh + m * dc * n * mh + n * h * mh + m * h * mh
         + n * dq * m * mh + m * mh * h + n * mh * h + 4 * m * h * h + 4 * n * h * h
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
+        compiler_params=pltpu.CompilerParams(
+            # Mosaic's default scoped-VMEM limit is a conservative 16 MB;
+            # v5e cores have headroom above that, and the TB=16 tile needs
+            # ~24 MB of kernel-internal live values (measured from the
+            # compiler's own OOM report).  Gated by pick_block_batch: small
+            # tiles never come near either limit.
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
         out_shape=(
-            jax.ShapeDtypeStruct((nblk, m, tb, h), jnp.float32),
-            jax.ShapeDtypeStruct((nblk, n, tb, h), jnp.float32),
+            jax.ShapeDtypeStruct((nblk, m, tb, h), cdt),
+            jax.ShapeDtypeStruct((nblk, n, tb, h), cdt),
         ),
         grid_spec=pl.GridSpec(
             grid=(nblk,),
@@ -377,6 +401,7 @@ def decoder_rounds_tiled(
         ),
         interpret=interpret,
     )(xc_t, xq_t, syn_ucs, *ops, *packs)
+    return tuple(x.astype(jnp.float32) for x in out)
 
 
 # ---------------------------------------------------------------------------
