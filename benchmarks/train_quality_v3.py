@@ -1,0 +1,73 @@
+"""Flagship quality runs: train d=7/9/11 surface-code decoders on the TPU.
+
+Sequential training runs (one compile per distance) with checkpoints into
+runs/v3_surface_d{d}; follow with benchmarks/ler_table.py to regenerate the
+LER parity table at d=3..11.  Settings mirror the v2 CPU runs (fused
+backend, pauli4 qubit head, both heads in the loss) scaled up to the
+hardware batch.
+
+    python benchmarks/train_quality_v3.py [--ds 7 9 11] [--steps 8000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ds", type=int, nargs="+", default=[7, 9, 11])
+    ap.add_argument("--steps", type=int, default=8000)
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--hidden", type=int, default=128)
+    ap.add_argument("--rounds", type=int, default=8)
+    ap.add_argument("--p", type=float, default=0.05)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--out-prefix", default="runs/v3_surface_d")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from tpugnn.configs import CodeConfig, ExperimentConfig, ModelConfig, TrainConfig
+    from tpugnn.train import train
+
+    for d in args.ds:
+        out = f"{args.out_prefix}{d}"
+        cfg = ExperimentConfig(
+            code=CodeConfig(family="surface", distance=d, p=args.p),
+            model=ModelConfig(
+                hidden=args.hidden, msg_hidden=args.hidden, rounds=args.rounds,
+                backend="fused", readout="both", qubit_head="pauli4",
+            ),
+            train=TrainConfig(
+                batch=args.batch, steps=args.steps, lr=args.lr,
+                warmup_steps=200, eval_every=1000, eval_shots=8192,
+                checkpoint_dir=os.path.abspath(out),
+                metrics_jsonl=os.path.join(out, "metrics.jsonl"),
+            ),
+        )
+        t0 = time.time()
+        print(f"=== d={d} -> {out} ===", flush=True)
+        state, model, graph, history = train(cfg, log=lambda s: print(s, flush=True))
+        el = time.time() - t0
+        last = history[-1] if history else {}
+        print(json.dumps({
+            "d": d, "steps": args.steps, "wall_s": round(el, 1),
+            "final": {k: last.get(k) for k in ("loss", "ler", "ler_logical", "ler_hybrid")},
+        }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -101,6 +101,7 @@ int uf_decode_batch(const int32_t* edge_u, const int32_t* edge_v, int E, int V,
     std::vector<std::vector<int32_t>> vadj(V);
     for (int v = 0; v < V; ++v) members[v] = {v};
     for (int e = 0; e < E; ++e) {
+      if (edge_u[e] < 0) continue;  // detached edge (no checks in sector)
       vadj[edge_u[e]].push_back(e);
       if (edge_v[e] >= 0) vadj[edge_v[e]].push_back(e);
     }
@@ -156,7 +157,7 @@ int uf_decode_batch(const int32_t* edge_u, const int32_t* edge_v, int E, int V,
     std::fill(in_forest.begin(), in_forest.end(), 0);
     std::fill(deg.begin(), deg.end(), 0);
     for (int e = 0; e < E; ++e) {
-      if (!grown[e]) continue;
+      if (!grown[e] || edge_u[e] < 0) continue;
       int u = edge_u[e];
       int v = edge_v[e] >= 0 ? edge_v[e] : V;
       if (forest.find(u) == forest.find(v)) continue;  // cycle

@@ -39,10 +39,16 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--eval-shots", type=int, default=4096)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--dt", type=int, default=1,
-                   help="syndrome-measurement rounds; >1 decodes the "
-                        "phenomenological spacetime detector graph")
+                   help="syndrome-measurement rounds; >1 decodes a "
+                        "spacetime detector graph (see --noise)")
+    p.add_argument("--noise", default="phenomenological",
+                   choices=["phenomenological", "circuit"],
+                   help="spacetime noise model for --dt > 1: independent "
+                        "data/measurement faults, or full circuit-level "
+                        "faults (CNOT depolarizing, hooks; surface only)")
     p.add_argument("--meas-ratio", type=float, default=1.0,
-                   help="measurement-fault rate relative to data-fault rate")
+                   help="measurement-fault rate relative to data-fault rate "
+                        "(phenomenological noise only)")
     p.add_argument("--cpu", action="store_true", help="force the CPU platform")
 
 
@@ -109,6 +115,11 @@ def main(argv: list[str] | None = None) -> int:
 
     def _graph():
         if args.dt > 1:
+            if args.noise == "circuit":
+                from tpugnn.tanner.circuit import build_circuit_code
+
+                return build_circuit_code(cfg.code.family, cfg.code.distance,
+                                          args.dt)
             from tpugnn.tanner.spacetime import build_spacetime_code
 
             return build_spacetime_code(cfg.code.family, cfg.code.distance,

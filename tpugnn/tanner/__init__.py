@@ -1,5 +1,6 @@
 """Code families -> padded device-resident Tanner graphs (SURVEY.md C1)."""
 
+from tpugnn.tanner.circuit import build_circuit_code
 from tpugnn.tanner.graph import TannerGraph, build_tanner_graph
 from tpugnn.tanner.repetition import build_repetition_code, repetition_code_checks
 from tpugnn.tanner.steane import build_steane_code, steane_code_checks
@@ -26,6 +27,6 @@ def build_code(family: str, distance: int, **kw) -> TannerGraph:
 __all__ = [
     "TannerGraph", "build_tanner_graph", "build_code",
     "build_surface_code", "build_toric_code", "build_repetition_code",
-    "build_steane_code", "surface_code_checks", "toric_code_checks",
-    "repetition_code_checks", "steane_code_checks",
+    "build_steane_code", "build_circuit_code", "surface_code_checks",
+    "toric_code_checks", "repetition_code_checks", "steane_code_checks",
 ]
