@@ -30,6 +30,9 @@ def main() -> int:
     ap.add_argument("--p", type=float, default=0.05)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--out-prefix", default="runs/v3_surface_d")
+    ap.add_argument("--remat", action="store_true",
+                    help="per-round activation rematerialization (needed for "
+                         "d >= 9 at batch 4096 on a 16G chip)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -49,6 +52,7 @@ def main() -> int:
             model=ModelConfig(
                 hidden=args.hidden, msg_hidden=args.hidden, rounds=args.rounds,
                 backend="fused", readout="both", qubit_head="pauli4",
+                remat=args.remat,
             ),
             train=TrainConfig(
                 batch=args.batch, steps=args.steps, lr=args.lr,

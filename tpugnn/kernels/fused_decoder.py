@@ -39,6 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "RoundWeights", "decoder_rounds", "decoder_rounds_tiled", "make_operators",
     "rounds_xla", "make_differentiable_rounds", "pick_block_batch",
+    "prep_operators", "pack_weights",
 ]
 
 # VMEM auto-sizing knobs (see decoder_rounds); module-level so perf probes
@@ -147,82 +148,85 @@ def _make_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt):
 
     def kernel(
         xc_ref, xq_ref, syn_ucs_ref,
-        g_c_ref, mask_c_ref, degbo_c_ref, g_q_ref, mask_q_ref, degbo_q_ref,
-        wmh_ref, wh_ref, bmh_ref, bh_ref,
+        g_c_ref, defc_c_ref, degbo_c_ref, g_q_ref, defc_q_ref, degbo_q_ref,
+        wproj_c_ref, wproj_q_ref, w2_ref, bmh_ref, bh_ref,
         out_xc_ref, out_xq_ref,
     ):
-        # unpack the weight bundles (static slices = free VMEM views).
-        # Packing ~30 small operands into 4 cuts per-grid-step DMA issue
-        # overhead, which dominated the per-program fixed cost.
-        wmh = wmh_ref[:].astype(cdt)   # [4H, MH]
-        wh = wh_ref[:].astype(cdt)     # [2MH+6H, H]
-        bmh = bmh_ref[:].astype(cdt)   # [2, MH]
-        bh = bh_ref[:].astype(cdt)     # [8, H]
-        w = RoundWeights(
-            wd_c=wmh[0:H], ws_c=wmh[H:2*H], b0_c=bmh[0:1],
-            wo_c=wh[0:MH], bo_c=None,
-            wd_q=wmh[2*H:3*H], ws_q=wmh[3*H:4*H], b0_q=bmh[1:2],
-            wo_q=wh[MH:2*MH], bo_q=None,
-            uc_x=wh[2*MH:2*MH+H], uc_a=wh[2*MH+H:2*MH+2*H], uc_s=None,
-            uc_b0=bh[0:1], uc_w1=wh[2*MH+2*H:2*MH+3*H], uc_b1=bh[1:2],
-            uq_x=wh[2*MH+3*H:2*MH+4*H], uq_a=wh[2*MH+4*H:2*MH+5*H],
-            uq_b0=bh[2:3], uq_w1=wh[2*MH+5*H:2*MH+6*H], uq_b1=bh[3:4],
-            lnc_scale=bh[4:5], lnc_bias=bh[5:6],
-            lnq_scale=bh[6:7], lnq_bias=bh[7:8],
-        )
-        xc0 = xc_ref[0].astype(cdt)     # [M, TB, H]
-        xq0 = xq_ref[0].astype(cdt)     # [N, TB, H]
+        # Weight bundles arrive pre-packed and pre-cast (packing ~30 small
+        # operands into 5 cuts per-grid-step DMA issue overhead; casting
+        # outside removes per-grid-step VPU cast passes).  Static slices of
+        # refs are free VMEM views.
+        wproj_c = wproj_c_ref[:]       # cdt [H, 2MH+H]: [wd_c | ws_q | uc_x]
+        wproj_q = wproj_q_ref[:]       # cdt [H, 2MH+H]: [ws_c | wd_q | uq_x]
+        w2 = w2_ref[:]                 # cdt [2MH+4H, H]:
+        #                                [wo_c | wo_q | uc_a | uq_a | uc_w1 | uq_w1]
+        bmh = bmh_ref[:]               # f32 [2, MH]: b0_c, b0_q
+        bh = bh_ref[:]                 # f32 [8, H]
+        wo_c, wo_q = w2[0:MH], w2[MH:2*MH]
+        uc_a, uq_a = w2[2*MH:2*MH+H], w2[2*MH+H:2*MH+2*H]
+        uc_w1, uq_w1 = w2[2*MH+2*H:2*MH+3*H], w2[2*MH+3*H:2*MH+4*H]
+        b0_c, b0_q = bmh[0:1], bmh[1:2]
+        uc_b0, uc_b1, uq_b0, uq_b1 = bh[0:1], bh[1:2], bh[2:3], bh[3:4]
+        lnc_s, lnc_b, lnq_s, lnq_b = bh[4:5], bh[5:6], bh[6:7], bh[7:8]
+
+        xc0 = xc_ref[0]                # cdt [M, TB, H]
+        xq0 = xq_ref[0]                # cdt [N, TB, H]
         # syndrome-feature term of the check update, pre-multiplied by the
-        # uc_s weight row OUTSIDE the kernel (round-invariant; avoids a
-        # sublane+lane double broadcast Mosaic can't lower in bf16)
-        syn_ucs = syn_ucs_ref[0].astype(cdt)  # [M, TB, H]
-        g_c = g_c_ref[:].astype(cdt)    # [Dc, M, N] slot-major gather op
-        g_q = g_q_ref[:].astype(cdt)    # [Dq, N, M]
-        mask_c = mask_c_ref[:].astype(cdt)    # [Dc, M, 1, MH] (pre-expanded)
-        mask_q = mask_q_ref[:].astype(cdt)
-        degbo_c = degbo_c_ref[:]              # [M, 1, H] f32: deg * b_out
+        # uc_s weight row OUTSIDE the kernel (round-invariant); cast to f32
+        # once — all VPU elementwise math runs in f32 (the VPU is f32-
+        # native, so bf16 elementwise only added cast passes), with casts
+        # to cdt only at MXU inputs.
+        syn_ucs = syn_ucs_ref[0].astype(jnp.float32)  # [M, TB, H]
+        g_c = g_c_ref[:]               # cdt [Dc, M, N] slot-major gather op
+        g_q = g_q_ref[:]               # cdt [Dq, N, M]
+        defc_c = defc_c_ref[:]         # f32 [M, 1, MH]: Dc - deg (pad-slot count)
+        defc_q = defc_q_ref[:]         # f32 [N, 1, MH]
+        degbo_c = degbo_c_ref[:]       # f32 [M, 1, H]: deg * b_out
         degbo_q = degbo_q_ref[:]
 
-        def slot_sum(g, ys, yd, b0, mask, d):
-            # slot-chunked gather+reduce: one [rows, src] x [src, TB*MH]
-            # GEMM per slot k, consumed immediately, so the only live
-            # slot tensor is [rows, TB, MH] (never [rows*D, TB, MH]) —
-            # this is what lets TB grow within the VMEM budget.
-            # g: [D, rows, src]; mask: [D, rows, 1, MH] pre-expanded.
+        def slot_sum(g, ys, ydb, defc, d):
+            # Mask-free slot-chunked gather+reduce: one [rows, src] x
+            # [src, TB*MH] GEMM per slot k, consumed immediately (only one
+            # [rows, TB, MH] slot tensor ever live — this is what lets TB
+            # grow within the VMEM budget).  Padded slots have all-zero
+            # gather rows, so they contribute exactly relu(ydb); instead of
+            # a mask multiply per slot, subtract the correction
+            # (D - deg) * relu(ydb) once (exact: zk == 0 on padded slots).
             hs = None
             for k in range(d):
-                zk = gdot(g[k], ys).astype(cdt)          # [rows, TB, MH]
-                t = jax.nn.relu(zk + yd + b0) * mask[k]
+                zk = gdot(g[k], ys)                      # f32 [rows, TB, MH]
+                t = jax.nn.relu(zk + ydb)
                 hs = t if hs is None else hs + t
-            return hs                                    # [rows, TB, MH]
+            return hs - defc * jax.nn.relu(ydb)          # f32
 
         def round_body(_, carry):
-            xc, xq = carry
-            # --- messages into checks (src = qubits) ---------------------
-            yd = dot2(xc, w.wd_c).astype(cdt)            # [M, TB, MH]
-            ys = dot2(xq, w.ws_c).astype(cdt)            # [N, TB, MH]
-            hs = slot_sum(g_c, ys, yd, w.b0_c, mask_c, Dc)
-            agg_c = dot2(hs, w.wo_c) + degbo_c           # [M, TB, H] f32
-            # --- messages into qubits (src = checks) ---------------------
-            yd2 = dot2(xq, w.wd_q).astype(cdt)
-            ys2 = dot2(xc, w.ws_q).astype(cdt)
-            hs2 = slot_sum(g_q, ys2, yd2, w.b0_q, mask_q, Dq)
-            agg_q = dot2(hs2, w.wo_q) + degbo_q
-            # --- updates (residual MLP + LayerNorm) ----------------------
+            xc, xq = carry                               # cdt
+            # one wide projection GEMM per node type feeds both message
+            # directions and the update MLP's state term
+            yc = dot2(xc, wproj_c)                       # f32 [M, TB, 2MH+H]
+            yq = dot2(xq, wproj_q)                       # f32 [N, TB, 2MH+H]
+            ydb_c = yc[..., :MH] + b0_c                  # dst term, to checks
+            ys_c = yq[..., :MH].astype(cdt)              # src term, to checks
+            ydb_q = yq[..., MH:2*MH] + b0_q              # dst term, to qubits
+            ys_q = yc[..., MH:2*MH].astype(cdt)          # src term, to qubits
+            xc_ux = yc[..., 2*MH:]                       # xc @ uc_x (f32)
+            xq_ux = yq[..., 2*MH:]                       # xq @ uq_x
+
+            hs_c = slot_sum(g_c, ys_c, ydb_c, defc_c, Dc).astype(cdt)
+            agg_c = (dot2(hs_c, wo_c) + degbo_c).astype(cdt)
+            hs_q = slot_sum(g_q, ys_q, ydb_q, defc_q, Dq).astype(cdt)
+            agg_q = (dot2(hs_q, wo_q) + degbo_q).astype(cdt)
+
+            # --- updates (residual MLP + LayerNorm, f32 VPU math) ---------
             hc = jax.nn.relu(
-                dot2(xc, w.uc_x) + dot2(agg_c.astype(cdt), w.uc_a)
-                + syn_ucs + w.uc_b0
+                xc_ux + dot2(agg_c, uc_a) + syn_ucs + uc_b0
             ).astype(cdt)
             xc_new = _ln(
-                xc.astype(jnp.float32) + dot2(hc, w.uc_w1) + w.uc_b1,
-                w.lnc_scale.astype(jnp.float32), w.lnc_bias.astype(jnp.float32),
+                xc.astype(jnp.float32) + dot2(hc, uc_w1) + uc_b1, lnc_s, lnc_b
             ).astype(cdt)
-            hq = jax.nn.relu(
-                dot2(xq, w.uq_x) + dot2(agg_q.astype(cdt), w.uq_a) + w.uq_b0
-            ).astype(cdt)
+            hq = jax.nn.relu(xq_ux + dot2(agg_q, uq_a) + uq_b0).astype(cdt)
             xq_new = _ln(
-                xq.astype(jnp.float32) + dot2(hq, w.uq_w1) + w.uq_b1,
-                w.lnq_scale.astype(jnp.float32), w.lnq_bias.astype(jnp.float32),
+                xq.astype(jnp.float32) + dot2(hq, uq_w1) + uq_b1, lnq_s, lnq_b
             ).astype(cdt)
             return xc_new, xq_new
 
@@ -230,8 +234,8 @@ def _make_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt):
         # outputs travel in the compute dtype (states are already cdt-
         # rounded, so this is lossless and halves the output IO buffers);
         # wrappers upcast to f32 outside the kernel
-        out_xc_ref[0] = xc.astype(cdt)
-        out_xq_ref[0] = xq.astype(cdt)
+        out_xc_ref[0] = xc
+        out_xq_ref[0] = xq
 
     return kernel
 
@@ -292,6 +296,62 @@ def decoder_rounds(
     return from_tiles(xc_o, m, h), from_tiles(xq_o, n, h)
 
 
+def prep_operators(operators: tuple, weights: RoundWeights, mh: int, cdt):
+    """Kernel-layout constants from make_operators output.
+
+    Operators are reordered slot-major ([D, rows, src]: row index in
+    make_operators' layout is rows*D + k) so kernels can consume one slot
+    GEMM at a time; gather operators travel in the compute dtype (entries
+    are 0/1 — exact); the per-row pad-slot count (D - deg) and the degree x
+    out-bias product are pre-expanded over the lane dim into f32
+    [rows, 1, F] operands (single-axis broadcasts only — Mosaic bf16
+    lowering constraints).  Returns
+    (g_c, defc_c, degbo_c, g_q, defc_q, degbo_q).
+    """
+    g_c, mask_c, deg_c, g_q, mask_q, deg_q = operators
+    f32 = jnp.float32
+    m = deg_c.shape[0]
+    n = deg_q.shape[0]
+    dc = g_c.shape[0] // m
+    dq = g_q.shape[0] // n
+    g_c = g_c.reshape(m, dc, -1).transpose(1, 0, 2).astype(cdt)
+    g_q = g_q.reshape(n, dq, -1).transpose(1, 0, 2).astype(cdt)
+    defc_c = jnp.broadcast_to((dc - deg_c).reshape(-1, 1, 1), (m, 1, mh)).astype(f32)
+    defc_q = jnp.broadcast_to((dq - deg_q).reshape(-1, 1, 1), (n, 1, mh)).astype(f32)
+    degbo_c = (deg_c.reshape(-1, 1, 1) * weights.bo_c[0]).astype(f32)
+    degbo_q = (deg_q.reshape(-1, 1, 1) * weights.bo_q[0]).astype(f32)
+    return g_c, defc_c, degbo_c, g_q, defc_q, degbo_q
+
+
+def pack_weights(w: RoundWeights, cdt):
+    """Pack the ~30 weight leaves into 5 kernel operands.
+
+    Fewer per-grid-step DMAs; GEMM weights pre-cast to the compute dtype,
+    biases/LN parameters in f32.  The projection packs fuse each node
+    type's three input GEMMs (both message directions + the update MLP's
+    state term) into one wide MXU contraction per round:
+
+        wproj_c [H, 2MH+H] = [wd_c | ws_q | uc_x]   (multiplies x_check)
+        wproj_q [H, 2MH+H] = [ws_c | wd_q | uq_x]   (multiplies x_qubit)
+        w2 [2MH+4H, H]     = [wo_c | wo_q | uc_a | uq_a | uc_w1 | uq_w1]
+        bmh [2, MH]        = [b0_c ; b0_q]          (f32)
+        bh [8, H]          = [uc_b0; uc_b1; uq_b0; uq_b1;
+                              lnc_scale; lnc_bias; lnq_scale; lnq_bias]
+    """
+    f32 = jnp.float32
+    wproj_c = jnp.concatenate([w.wd_c, w.ws_q, w.uc_x], axis=1).astype(cdt)
+    wproj_q = jnp.concatenate([w.ws_c, w.wd_q, w.uq_x], axis=1).astype(cdt)
+    w2 = jnp.concatenate(
+        [w.wo_c, w.wo_q, w.uc_a, w.uq_a, w.uc_w1, w.uq_w1], axis=0
+    ).astype(cdt)
+    bmh = jnp.concatenate([w.b0_c, w.b0_q], axis=0).astype(f32)
+    bh = jnp.concatenate(
+        [w.uc_b0, w.uc_b1, w.uq_b0, w.uq_b1,
+         w.lnc_scale, w.lnc_bias, w.lnq_scale, w.lnq_bias], axis=0
+    ).astype(f32)
+    return wproj_c, wproj_q, w2, bmh, bh
+
+
 @functools.partial(
     jax.jit, static_argnames=("rounds", "interpret", "compute_dtype")
 )
@@ -323,21 +383,8 @@ def decoder_rounds_tiled(
     mh = weights.wd_c.shape[1]
     cdt = jnp.dtype(compute_dtype)
 
-    # operators reordered slot-major ([D, rows, src]: row index in
-    # make_operators' layout is rows*D + k) so the kernel can consume one
-    # slot GEMM at a time; masks pre-expanded over the lane dim; degree x
-    # out-bias folded into one [rows, 1, H] f32 operand (Mosaic bf16
-    # lowering constraints)
-    g_c = g_c.reshape(m, dc, -1).transpose(1, 0, 2)
-    g_q = g_q.reshape(n, dq, -1).transpose(1, 0, 2)
-    mask_c = jnp.broadcast_to(
-        mask_c.reshape(m, dc, 1, 1).transpose(1, 0, 2, 3), (dc, m, 1, mh)
-    )
-    mask_q = jnp.broadcast_to(
-        mask_q.reshape(n, dq, 1, 1).transpose(1, 0, 2, 3), (dq, n, 1, mh)
-    )
-    degbo_c = (deg_c.reshape(-1, 1, 1) * weights.bo_c[0]).astype(jnp.float32)
-    degbo_q = (deg_q.reshape(-1, 1, 1) * weights.bo_q[0]).astype(jnp.float32)
+    ops = prep_operators(operators, weights, mh, cdt)
+    packs = pack_weights(weights, cdt)
 
     kernel = _make_kernel(m, n, dc, dq, h, mh, rounds, tb, cdt)
 
@@ -347,24 +394,6 @@ def decoder_rounds_tiled(
     tile_spec = lambda rows, f: pl.BlockSpec(
         (1, rows, tb, f), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
-
-    ops = (g_c, mask_c, degbo_c, g_q, mask_q, degbo_q)
-    # pack the ~30 weight leaves into 4 operands (fewer per-grid-step DMAs)
-    w = weights
-    f32 = jnp.float32
-    wmh = jnp.concatenate(
-        [w.wd_c, w.ws_c, w.wd_q, w.ws_q], axis=0
-    ).astype(f32)                                        # [4H, MH]
-    wh_pack = jnp.concatenate(
-        [w.wo_c, w.wo_q, w.uc_x, w.uc_a, w.uc_w1, w.uq_x, w.uq_a, w.uq_w1],
-        axis=0,
-    ).astype(f32)                                        # [2MH+6H, H]
-    bmh = jnp.concatenate([w.b0_c, w.b0_q], axis=0).astype(f32)   # [2, MH]
-    bh = jnp.concatenate(
-        [w.uc_b0, w.uc_b1, w.uq_b0, w.uq_b1,
-         w.lnc_scale, w.lnc_bias, w.lnq_scale, w.lnq_bias], axis=0
-    ).astype(f32)                                        # [8, H]
-    packs = (wmh, wh_pack, bmh, bh)
     flops_round = 2 * (
         m * h * mh + n * h * mh + m * dc * n * mh + n * h * mh + m * h * mh
         + n * dq * m * mh + m * mh * h + n * mh * h + 4 * m * h * h + 4 * n * h * h

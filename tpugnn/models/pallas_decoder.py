@@ -60,17 +60,20 @@ class PallasDecoder:
     """
 
     def __init__(self, cfg: ModelConfig, k: int, *, interpret: bool | None = None,
-                 trainable: bool = False):
+                 trainable: bool = False, backward: str = "pallas"):
         if not cfg.weight_tied:
             raise ValueError("PallasDecoder supports weight-tied rounds only")
         if cfg.aggr != "sum":
             raise ValueError("PallasDecoder requires aggr='sum'")
         if cfg.update != "mlp":
             raise ValueError("PallasDecoder requires update='mlp'")
+        if backward not in ("pallas", "xla"):
+            raise ValueError("backward must be 'pallas' or 'xla'")
         self.cfg = cfg
         self.k = k
         self.interpret = interpret
         self.trainable = trainable
+        self.backward = backward
         self._diff_cache: dict = {}
 
     def apply(self, params, graph: TannerGraph, syndrome: jnp.ndarray) -> DecoderOutput:
@@ -103,14 +106,24 @@ class PallasDecoder:
         w = roundweights_from_flax(p["rounds"])
         ops = make_operators(graph)
         if self.trainable:
-            from tpugnn.kernels.fused_decoder import make_differentiable_rounds
-
             key = (graph.name, cfg.rounds)
             if key not in self._diff_cache:
-                self._diff_cache[key] = make_differentiable_rounds(
-                    ops, rounds=cfg.rounds, compute_dtype=cfg.dtype,
-                    interpret=self.interpret,
-                )
+                if self.backward == "pallas":
+                    # fully kernel-backed VJP (fused forward AND backward)
+                    from tpugnn.kernels.fused_backward import kernel_trained_rounds
+
+                    self._diff_cache[key] = kernel_trained_rounds(
+                        ops, rounds=cfg.rounds, compute_dtype=cfg.dtype,
+                        interpret=self.interpret,
+                    )
+                else:
+                    # kernel forward, rematerialized XLA backward
+                    from tpugnn.kernels.fused_decoder import make_differentiable_rounds
+
+                    self._diff_cache[key] = make_differentiable_rounds(
+                        ops, rounds=cfg.rounds, compute_dtype=cfg.dtype,
+                        interpret=self.interpret,
+                    )
             x_c, x_q = self._diff_cache[key](x_c, x_q, syn_feat, w)
         else:
             x_c, x_q = decoder_rounds(
