@@ -19,7 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", action="append", required=True,
-                    help="ckpt_dir:family:distance:hidden[:rounds[:head]]")
+                    help="ckpt_dir:family:distance:hidden[:rounds[:head"
+                         "[:dt[:noise]]]] — dt > 1 evaluates the spacetime "
+                         "detector graph (noise: phenomenological|circuit)")
     ap.add_argument("--ps", type=float, nargs="+", default=[0.01, 0.02, 0.03, 0.05])
     ap.add_argument("--shots", type=int, default=100_000)
     ap.add_argument("--cpu", action="store_true")
@@ -45,12 +47,23 @@ def main() -> int:
         ckpt, family, d, hidden = parts[0], parts[1], int(parts[2]), int(parts[3])
         rounds = int(parts[4]) if len(parts) > 4 else 8
         head = parts[5] if len(parts) > 5 else "pauli4"
+        dt = int(parts[6]) if len(parts) > 6 else 1
+        noise = parts[7] if len(parts) > 7 else "phenomenological"
         cfg = ExperimentConfig(
             code=CodeConfig(family=family, distance=d),
             model=ModelConfig(hidden=hidden, msg_hidden=hidden, rounds=rounds,
                               backend="fused", qubit_head=head),
         )
-        graph = build_code(family, d)
+        if dt > 1 and noise == "circuit":
+            from tpugnn.tanner.circuit import build_circuit_code
+
+            graph = build_circuit_code(family, d, dt)
+        elif dt > 1:
+            from tpugnn.tanner.spacetime import build_spacetime_code
+
+            graph = build_spacetime_code(family, d, dt)
+        else:
+            graph = build_code(family, d)
         state, model = init_state(cfg, graph)
         restored = CheckpointManager(ckpt).restore_latest(state)
         if restored is None:
@@ -62,7 +75,7 @@ def main() -> int:
                                  key=jax.random.PRNGKey(777))
             uf = ler_union_find(graph, p=p, shots=args.shots, batch=4096,
                                 key=jax.random.PRNGKey(777))
-            row = {"family": family, "d": d, "p": p,
+            row = {"family": family if dt == 1 else graph.name, "d": d, "p": p,
                    "gnn_hybrid": ev.get("ler_hybrid"),
                    "gnn_logical": ev.get("ler_logical"),
                    "gnn_per_qubit": ev["ler"],

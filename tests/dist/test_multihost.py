@@ -89,3 +89,67 @@ def test_two_process_distributed(tmp_path):
                 pytest.skip(f"environmental distributed failure: {err[-200:]}")
             raise AssertionError(f"worker failed rc={rc}:\n{err[-2000:]}")
         assert "RESULT 8.0" in out, out
+
+
+_WORKER_DRYRUN = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, {root!r})
+    from tpugnn.dist import multihost
+    multihost.initialize()
+    assert jax.process_count() == 2 and len(jax.devices()) == 4
+    from tpugnn.dist.api import dryrun
+    dryrun(4)   # full sharded train step; graph axis spans the processes
+    print("MULTIHOST DRYRUN OK")
+    """
+)
+
+
+@pytest.mark.slow
+def test_two_process_sharded_train_step(tmp_path):
+    """Full edge-partitioned train step across two jax.distributed processes.
+
+    The ('data', 'graph') mesh spans both processes, so the halo all_to_all
+    crosses the process boundary; both workers must print the dryrun's
+    deterministic loss.
+    """
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    port = _free_port()
+    worker = _WORKER_DRYRUN.format(root=root)
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            JAX_COORD=f"127.0.0.1:{port}",
+            JAX_NUM_PROC="2",
+            JAX_PROC_ID=str(pid),
+        )
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", worker],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            )
+        )
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=540)
+            outs.append((p.returncode, out.decode(), err.decode()))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("distributed runtime timed out in this environment")
+    losses = []
+    for rc, out, err in outs:
+        if rc != 0:
+            if "UNAVAILABLE" in err or "DEADLINE" in err or "bind" in err.lower():
+                pytest.skip(f"environmental distributed failure: {err[-200:]}")
+            raise AssertionError(f"worker failed rc={rc}:\n{err[-2000:]}")
+        assert "MULTIHOST DRYRUN OK" in out, out
+        losses.append([ln for ln in out.splitlines() if "loss=" in ln][-1])
+    assert losses[0] == losses[1], losses
