@@ -45,9 +45,11 @@ def test_rounds_xla_matches_kernel():
     np.testing.assert_allclose(np.asarray(k_q), np.asarray(x_q), atol=2e-4, rtol=1e-3)
 
 
-def test_gradients_match_fused_backend():
+@pytest.mark.parametrize("backward", ["pallas", "xla"])
+def test_gradients_match_fused_backend(backward):
     g, cfg, model, params, b = _setup()
-    pal = PallasDecoder(cfg, k=g.k, trainable=True, interpret=True)
+    pal = PallasDecoder(cfg, k=g.k, trainable=True, interpret=True,
+                        backward=backward)
 
     def loss_with(apply_fn, p):
         out = apply_fn(p, g, b.syndrome)
