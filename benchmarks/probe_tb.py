@@ -36,6 +36,10 @@ def main() -> int:
     ap.add_argument("--hidden", type=int, default=128)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--chain", type=int, default=10)
+    ap.add_argument("--dtype", default="bfloat16",
+                    help="kernel compute dtype (bfloat16 | float32)")
+    ap.add_argument("--vmem-mb", type=int, default=None,
+                    help="override the kernel's Mosaic scoped-VMEM ceiling")
     args = ap.parse_args()
 
     import tpugnn.kernels.fused_decoder as fd
@@ -47,9 +51,11 @@ def main() -> int:
     from tpugnn.tanner import build_code
 
     graph = build_code("surface", args.d)
+    if args.vmem_mb is not None:
+        fd._VMEM_LIMIT = args.vmem_mb * 1024 * 1024
     cfg = ModelConfig(hidden=args.hidden, msg_hidden=args.hidden,
                       rounds=args.rounds, backend="fused",
-                      readout="per_qubit", dtype="bfloat16")
+                      readout="per_qubit", dtype=args.dtype)
     model = GNNDecoder(cfg, k=graph.k)
     key = jax.random.PRNGKey(0)
     params = model.init(key, graph, jnp.zeros((2, graph.n_checks_pad)))

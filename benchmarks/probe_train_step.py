@@ -111,6 +111,9 @@ def main() -> int:
                 "loss": round(float(metrics["loss"]), 4),
             }), flush=True)
         except Exception as e:
+            import traceback
+
+            traceback.print_exc()
             print(json.dumps({"path": path,
                               "error": f"{type(e).__name__}: {str(e)[-300:]}"}),
                   flush=True)

@@ -61,6 +61,34 @@ def test_gradients_match_fused_backend(backward):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=5e-3, rtol=5e-2)
 
 
+@pytest.mark.parametrize("backward", ["pallas", "xla"])
+def test_retrace_same_decoder_instance(backward):
+    """Regression: one PallasDecoder instance used across two jit traces.
+
+    The differentiable-rounds fn closes over operator arrays derived from
+    ``graph``; with graph passed as a jit argument those are tracers, so
+    caching the fn across traces leaked the first trace's tracers into the
+    retrace (UnexpectedTracerError on any shape change / second jit).
+    """
+    g, cfg, model, params, b = _setup()
+    pal = PallasDecoder(cfg, k=g.k, trainable=True, interpret=True,
+                        backward=backward)
+
+    @jax.jit
+    def grad_step(p, graph, syndrome):
+        def loss(pp):
+            out = pal.apply(pp, graph, syndrome)
+            return jnp.sum(out.qubit_logits**2)
+
+        return jax.grad(loss)(p)
+
+    grad_step(params, g, b.syndrome)  # trace 1: batch 4
+    b8 = sample_batch(jax.random.PRNGKey(9), g, 0.08, 8)
+    out = grad_step(params, g, b8.syndrome)  # retrace: batch 8
+    for leaf in jax.tree.leaves(out):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
 def test_training_with_pallas_backend():
     cfg = ExperimentConfig(
         code=CodeConfig(family="surface", distance=3, p=0.08),

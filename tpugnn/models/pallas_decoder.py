@@ -74,7 +74,6 @@ class PallasDecoder:
         self.interpret = interpret
         self.trainable = trainable
         self.backward = backward
-        self._diff_cache: dict = {}
 
     def apply(self, params, graph: TannerGraph, syndrome: jnp.ndarray) -> DecoderOutput:
         if not self.trainable:
@@ -106,25 +105,30 @@ class PallasDecoder:
         w = roundweights_from_flax(p["rounds"])
         ops = make_operators(graph)
         if self.trainable:
-            key = (graph.name, cfg.rounds)
-            if key not in self._diff_cache:
-                if self.backward == "pallas":
-                    # fully kernel-backed VJP (fused forward AND backward)
-                    from tpugnn.kernels.fused_backward import kernel_trained_rounds
+            # Built fresh on every trace: the returned fn (and its
+            # custom_vjp fwd/bwd) closes over operator arrays derived from
+            # ``graph``, which are tracers when apply runs under jit — a
+            # cross-trace cache would leak them into later retraces
+            # (UnexpectedTracerError; hit by any jitted train step that
+            # retraces).  Construction is trace-time Python, so rebuilding
+            # costs nothing at runtime.
+            if self.backward == "pallas":
+                # fully kernel-backed VJP (fused forward AND backward)
+                from tpugnn.kernels.fused_backward import kernel_trained_rounds
 
-                    self._diff_cache[key] = kernel_trained_rounds(
-                        ops, rounds=cfg.rounds, compute_dtype=cfg.dtype,
-                        interpret=self.interpret,
-                    )
-                else:
-                    # kernel forward, rematerialized XLA backward
-                    from tpugnn.kernels.fused_decoder import make_differentiable_rounds
+                diff_fn = kernel_trained_rounds(
+                    ops, rounds=cfg.rounds, compute_dtype=cfg.dtype,
+                    interpret=self.interpret,
+                )
+            else:
+                # kernel forward, rematerialized XLA backward
+                from tpugnn.kernels.fused_decoder import make_differentiable_rounds
 
-                    self._diff_cache[key] = make_differentiable_rounds(
-                        ops, rounds=cfg.rounds, compute_dtype=cfg.dtype,
-                        interpret=self.interpret,
-                    )
-            x_c, x_q = self._diff_cache[key](x_c, x_q, syn_feat, w)
+                diff_fn = make_differentiable_rounds(
+                    ops, rounds=cfg.rounds, compute_dtype=cfg.dtype,
+                    interpret=self.interpret,
+                )
+            x_c, x_q = diff_fn(x_c, x_q, syn_feat, w)
         else:
             x_c, x_q = decoder_rounds(
                 x_c, x_q, syn_feat, ops, w,
