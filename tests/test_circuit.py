@@ -22,8 +22,13 @@ from tpugnn.tanner.circuit import (
     elementary_faults,
     fault_effect,
     surface_schedule,
+    toric_schedule,
 )
 from tpugnn.tanner.surface import surface_code_checks
+from tpugnn.tanner.toric import toric_code_checks
+
+CHECKS = {"surface": surface_code_checks, "toric": toric_code_checks}
+SCHEDULES = {"surface": surface_schedule, "toric": toric_schedule}
 
 
 def simulate_circuit(own_sched, other_sched, n_data, d_t, prims):
@@ -68,12 +73,16 @@ def simulate_circuit(own_sched, other_sched, n_data, d_t, prims):
     return det.reshape(-1), x
 
 
-@pytest.mark.parametrize("d,d_t", [(3, 3), (3, 2), (5, 3)])
-def test_closed_form_matches_simulation(d, d_t):
+@pytest.mark.parametrize(
+    "family,d,d_t",
+    [("surface", 3, 3), ("surface", 3, 2), ("surface", 5, 3),
+     ("toric", 3, 3), ("toric", 2, 2)],
+)
+def test_closed_form_matches_simulation(family, d, d_t):
     """Every elementary fault's (symptom, e_net) matches the simulator."""
-    hx, hz = surface_code_checks(d)
-    x_sched, z_sched = surface_schedule(d)
-    n = d * d
+    hx, hz = CHECKS[family](d)
+    x_sched, z_sched = SCHEDULES[family](d)
+    n = hx.shape[1]
     m = len(z_sched)
     for prims, _ in elementary_faults(z_sched, x_sched, n, d_t):
         det_sim, x_sim = simulate_circuit(z_sched, x_sched, n, d_t, prims)
@@ -109,10 +118,11 @@ def test_random_fault_combinations_match_simulation():
         np.testing.assert_array_equal(err, x_sim)
 
 
-def test_schedule_is_conflict_free_and_matches_checks():
+@pytest.mark.parametrize("family", ["surface", "toric"])
+def test_schedule_is_conflict_free_and_matches_checks(family):
     for d in (3, 5, 7):
-        hx, hz = surface_code_checks(d)
-        x_sched, z_sched = surface_schedule(d)
+        hx, hz = CHECKS[family](d)
+        x_sched, z_sched = SCHEDULES[family](d)
         assert len(x_sched) == hx.shape[0] and len(z_sched) == hz.shape[0]
         # supports match row for row
         for sched, hmat in ((x_sched, hx), (z_sched, hz)):
@@ -187,6 +197,19 @@ def test_circuit_graph_pipeline():
     assert out.qubit_logits.shape[:2] == (128, g.n_qubits_pad)
 
 
+def test_toric_circuit_graph():
+    """Toric circuit-level graph: k=2, sampling/syndrome consistency."""
+    g = build_circuit_code("toric", 3, 3)
+    assert g.n_checks_x == 0 and g.k == 2
+    b = sample_batch(jax.random.PRNGKey(0), g, 0.02, 128)
+    assert not np.asarray(b.ez).any()
+    import jax.numpy as jnp
+
+    ex0 = jnp.mod(b.syndrome @ g.pure_ex.T, 2.0)
+    s2 = syndrome(g, ex0, jnp.zeros_like(ex0))
+    np.testing.assert_array_equal(np.asarray(s2), np.asarray(b.syndrome))
+
+
 def test_unknown_family_raises():
-    with pytest.raises(ValueError, match="surface"):
-        build_circuit_code("toric", 3, 3)
+    with pytest.raises(ValueError, match="surface.*toric"):
+        build_circuit_code("repetition", 3, 3)

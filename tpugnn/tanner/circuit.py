@@ -50,7 +50,7 @@ from tpugnn.tanner.graph import TannerGraph, build_tanner_graph
 from tpugnn.utils import f2
 
 __all__ = [
-    "surface_schedule", "elementary_faults", "fault_effect",
+    "surface_schedule", "toric_schedule", "elementary_faults", "fault_effect",
     "circuit_fault_classes", "build_circuit_code",
 ]
 
@@ -98,6 +98,42 @@ def surface_schedule(d: int) -> tuple[list[list[tuple[int, int]]], list[list[tup
                 if not on_tb and is_x:
                     continue
             (x_sched if is_x else z_sched).append(qs)
+    return x_sched, z_sched
+
+
+def toric_schedule(d: int) -> tuple[list[list[tuple[int, int]]], list[list[tuple[int, int]]]]:
+    """(x_sched, z_sched) for the d x d toric code, 4 CNOT layers.
+
+    Row order matches tanner.toric.toric_code_checks exactly (vertex /
+    plaquette index r*d + c; horizontal edge (r, c) -> r*d + c, vertical ->
+    d*d + r*d + c, coordinates mod d).  The classic interleaving: in every
+    layer the vertex (X) ancillas touch one full orientation class of edges
+    and the plaquette (Z) ancillas the other, so no data qubit does two
+    CNOTs in a layer:
+
+        layer     0           1           2           3
+        vertex    N=v(r-1,c)  W=h(r,c-1)  E=h(r,c)    S=v(r,c)
+        plaq.     N=h(r,c)    W=v(r,c)    E=v(r,c+1)  S=h(r+1,c)
+    """
+    if d < 2:
+        raise ValueError("toric code needs d >= 2")
+
+    def hq(r: int, c: int) -> int:
+        return (r % d) * d + (c % d)
+
+    def vq(r: int, c: int) -> int:
+        return d * d + (r % d) * d + (c % d)
+
+    x_sched: list[list[tuple[int, int]]] = []
+    z_sched: list[list[tuple[int, int]]] = []
+    for r in range(d):
+        for c in range(d):
+            x_sched.append(
+                [(vq(r - 1, c), 0), (hq(r, c - 1), 1), (hq(r, c), 2), (vq(r, c), 3)]
+            )
+            z_sched.append(
+                [(hq(r, c), 0), (vq(r, c), 1), (vq(r, c + 1), 2), (hq(r + 1, c), 3)]
+            )
     return x_sched, z_sched
 
 
@@ -261,16 +297,23 @@ def build_circuit_code(
     under swapping the CNOT propagation direction, so one construction
     serves both with the schedules swapped).
     """
-    if family != "surface":
-        raise ValueError(
-            "circuit-level noise is implemented for family='surface' "
-            "(schedules are geometry-specific); phenomenological spacetime "
-            "graphs (tanner.spacetime) cover the other families"
-        )
-    from tpugnn.tanner import surface
+    if family == "surface":
+        from tpugnn.tanner import surface
 
-    hx, hz = surface.surface_code_checks(distance)
-    x_sched, z_sched = surface_schedule(distance)
+        hx, hz = surface.surface_code_checks(distance)
+        x_sched, z_sched = surface_schedule(distance)
+    elif family == "toric":
+        from tpugnn.tanner import toric
+
+        hx, hz = toric.toric_code_checks(distance)
+        x_sched, z_sched = toric_schedule(distance)
+    else:
+        raise ValueError(
+            "circuit-level noise is implemented for family='surface' and "
+            "'toric' (CNOT schedules are geometry-specific); "
+            "phenomenological spacetime graphs (tanner.spacetime) cover "
+            "the other families"
+        )
     assert len(x_sched) == hx.shape[0] and len(z_sched) == hz.shape[0]
     # schedule/back-matrix consistency: supports must match row for row
     for sched, hmat in ((x_sched, hx), (z_sched, hz)):
@@ -283,7 +326,7 @@ def build_circuit_code(
         own, other, base_logical = x_sched, z_sched, None
     else:
         raise ValueError("sector must be 'x' or 'z'")
-    n = distance * distance
+    n = hx.shape[1]
     hp, e_net, rate = circuit_fault_classes(own, other, n, d_t)
 
     base_lx, base_lz = f2.css_logicals(hx, hz)
@@ -308,7 +351,7 @@ def build_circuit_code(
     return build_tanner_graph(
         np.zeros((0, hp.shape[1]), np.uint8),
         hp,
-        name=f"surface_d{distance}_circuit_t{d_t}_{sector}",
+        name=f"{family}_d{distance}_circuit_t{d_t}_{sector}",
         pad_nodes=pad_nodes,
         pad_edges=pad_edges,
         logicals=logicals,
