@@ -122,12 +122,25 @@ def _ln(x, scale, bias):
     return (x - mu) * jax.lax.rsqrt(var + 1e-6) * scale + bias
 
 
-def _make_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt):
+def _make_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt, ablate=frozenset()):
     """Batch-tiled kernel; activations laid out [rows, TB, F] so every GEMM
     contracts over a full [rows*TB, F] or [rows, TB*F] panel (MXU-friendly).
 
     ``cdt`` is the compute dtype (bf16 by default, f32 accumulation via
     preferred_element_type); LayerNorm statistics run in f32.
+
+    ``ablate`` selects *measurement-only* kernel variants for the perf
+    attribution probe (benchmarks/probe_kernel_attrib.py); every key except
+    the exact-math ``sumrelu`` CHANGES THE COMPUTED FUNCTION and must never
+    reach production paths:
+      noslotrelu — drop the per-slot relu/add VPU passes (slot GEMMs kept)
+      oneslot    — run a single gather slot per direction (D -> 1)
+      noln       — LayerNorm without statistics (affine only)
+      noupdate   — drop the update-MLP hidden GEMM + relu
+      sumrelu    — EXACT alternative slot reduction: relu(z+y) rewritten as
+                   max(z, -y) + y, hoisting the +ydb adds out of the slot
+                   loop (one fma after it) — fewer VPU passes, same math
+                   up to f32 sum reassociation
     """
 
     def dot2(a, b):
@@ -192,6 +205,26 @@ def _make_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt):
             # gather rows, so they contribute exactly relu(ydb); instead of
             # a mask multiply per slot, subtract the correction
             # (D - deg) * relu(ydb) once (exact: zk == 0 on padded slots).
+            if "oneslot" in ablate:
+                d = 1
+            if "noslotrelu" in ablate:
+                hs = None
+                for k in range(d):
+                    zk = gdot(g[k], ys)
+                    hs = zk if hs is None else hs + zk
+                return hs
+            if "sumrelu" in ablate:
+                # exact rewrite: relu(z + y) == max(z, -y) + y, so the +ydb
+                # add and the relu collapse into one max per slot, with the
+                # hoisted sum D*ydb (and the same pad correction) applied
+                # once after the loop.  Same function, fewer VPU passes.
+                nydb = -ydb
+                hs = None
+                for k in range(d):
+                    zk = gdot(g[k], ys)                  # f32 [rows, TB, MH]
+                    t = jnp.maximum(zk, nydb)
+                    hs = t if hs is None else hs + t
+                return hs + jnp.float32(d) * ydb - defc * jax.nn.relu(ydb)
             hs = None
             for k in range(d):
                 zk = gdot(g[k], ys)                      # f32 [rows, TB, MH]
@@ -218,14 +251,25 @@ def _make_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt):
             agg_q = (dot2(hs_q, wo_q) + degbo_q).astype(cdt)
 
             # --- updates (residual MLP + LayerNorm, f32 VPU math) ---------
+            ln = (lambda x, s, b: x * s + b) if "noln" in ablate else _ln
+            if "noupdate" in ablate:
+                xc_new = ln(
+                    xc.astype(jnp.float32) + agg_c.astype(jnp.float32),
+                    lnc_s, lnc_b,
+                ).astype(cdt)
+                xq_new = ln(
+                    xq.astype(jnp.float32) + agg_q.astype(jnp.float32),
+                    lnq_s, lnq_b,
+                ).astype(cdt)
+                return xc_new, xq_new
             hc = jax.nn.relu(
                 xc_ux + dot2(agg_c, uc_a) + syn_ucs + uc_b0
             ).astype(cdt)
-            xc_new = _ln(
+            xc_new = ln(
                 xc.astype(jnp.float32) + dot2(hc, uc_w1) + uc_b1, lnc_s, lnc_b
             ).astype(cdt)
             hq = jax.nn.relu(xq_ux + dot2(agg_q, uq_a) + uq_b0).astype(cdt)
-            xq_new = _ln(
+            xq_new = ln(
                 xq.astype(jnp.float32) + dot2(hq, uq_w1) + uq_b1, lnq_s, lnq_b
             ).astype(cdt)
             return xc_new, xq_new
@@ -241,7 +285,10 @@ def _make_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rounds", "interpret", "block_batch", "compute_dtype")
+    jax.jit,
+    static_argnames=(
+        "rounds", "interpret", "block_batch", "compute_dtype", "ablate"
+    ),
 )
 def decoder_rounds(
     xc0: jnp.ndarray,     # [B, M, H]
@@ -254,6 +301,7 @@ def decoder_rounds(
     interpret: bool | None = None,
     block_batch: int = 32,
     compute_dtype: str = "bfloat16",
+    ablate: tuple = (),
 ):
     """Run R fused message rounds; returns (xc_final, xq_final) in f32.
 
@@ -288,6 +336,7 @@ def decoder_rounds(
     xc_o, xq_o = decoder_rounds_tiled(
         xc_t, xq_t, syn_ucs, operators, weights,
         rounds=rounds, interpret=interpret, compute_dtype=compute_dtype,
+        ablate=ablate,
     )
 
     def from_tiles(x, rows, f):
@@ -353,7 +402,7 @@ def pack_weights(w: RoundWeights, cdt):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rounds", "interpret", "compute_dtype")
+    jax.jit, static_argnames=("rounds", "interpret", "compute_dtype", "ablate")
 )
 def decoder_rounds_tiled(
     xc_t: jnp.ndarray,     # [nblk, M, TB, H] compute dtype
@@ -365,6 +414,7 @@ def decoder_rounds_tiled(
     rounds: int,
     interpret: bool | None = None,
     compute_dtype: str = "bfloat16",
+    ablate: tuple = (),
 ):
     """Tiled-layout core: inputs/outputs already in [nblk, rows, TB, F].
 
@@ -386,7 +436,8 @@ def decoder_rounds_tiled(
     ops = prep_operators(operators, weights, mh, cdt)
     packs = pack_weights(weights, cdt)
 
-    kernel = _make_kernel(m, n, dc, dq, h, mh, rounds, tb, cdt)
+    kernel = _make_kernel(m, n, dc, dq, h, mh, rounds, tb, cdt,
+                          ablate=frozenset(ablate))
 
     def full(a):
         return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM)
