@@ -16,7 +16,7 @@ from tpugnn.baselines.union_find import UnionFindDecoder
 from tpugnn.sampling.noise import sample_batch
 from tpugnn.tanner.graph import TannerGraph
 
-__all__ = ["ler_union_find"]
+__all__ = ["ler_union_find", "ler_bp"]
 
 
 def ler_union_find(
@@ -61,4 +61,56 @@ def ler_union_find(
         "syn_mismatch_rate": syn_mismatch / total,
         "shots": float(total),
         "decoder": "union_find",
+    }
+
+
+def ler_bp(
+    graph: TannerGraph,
+    *,
+    p: float,
+    shots: int,
+    batch: int = 4096,
+    iters: int = 32,
+    alpha: float = 0.8,
+    key: jax.Array | None = None,
+) -> dict[str, float]:
+    """Monte-Carlo LER of the min-sum BP baseline, fully on-device.
+
+    Unlike :func:`ler_union_find` (host round-trip into the C++ core), BP
+    is a jitted TPU program end-to-end: sampling, decoding, residual
+    syndrome + logical-parity checks all stay on device.
+    """
+    import functools
+
+    import jax.numpy as jnp
+
+    from tpugnn.baselines.bp import bp_decode
+    from tpugnn.eval.ler import count_failures
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+
+    @functools.partial(jax.jit, static_argnames=("batch_",))
+    def chunk(k, batch_):
+        b = sample_batch(k, graph, p, batch_)
+        ex_hat, ez_hat = bp_decode(graph, b.syndrome, p, iters=iters,
+                                   alpha=alpha)
+        f = count_failures(graph, b, ex_hat, ez_hat, None)
+        return jnp.sum(f["fail_qubit"]), jnp.sum(f["syn_mismatch"])
+
+    fails = 0.0
+    syn_mismatch = 0.0
+    total = 0
+    for _ in range(max(1, (shots + batch - 1) // batch)):
+        key, sub = jax.random.split(key)
+        fq, sm = chunk(sub, batch)
+        fails += float(fq)
+        syn_mismatch += float(sm)
+        total += batch
+    ler = fails / total
+    return {
+        "ler": ler,
+        "ler_stderr": (max(ler * (1 - ler), 1e-12) / total) ** 0.5,
+        "syn_mismatch_rate": syn_mismatch / total,
+        "shots": float(total),
+        "decoder": f"bp_minsum(iters={iters}, alpha={alpha})",
     }
