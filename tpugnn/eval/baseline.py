@@ -16,7 +16,7 @@ from tpugnn.baselines.union_find import UnionFindDecoder
 from tpugnn.sampling.noise import sample_batch
 from tpugnn.tanner.graph import TannerGraph
 
-__all__ = ["ler_union_find", "ler_bp"]
+__all__ = ["ler_union_find", "ler_bp", "ler_bp_osd"]
 
 
 def ler_union_find(
@@ -113,4 +113,53 @@ def ler_bp(
         "syn_mismatch_rate": syn_mismatch / total,
         "shots": float(total),
         "decoder": f"bp_minsum(iters={iters}, alpha={alpha})",
+    }
+
+
+def ler_bp_osd(
+    graph: TannerGraph,
+    *,
+    p: float,
+    shots: int,
+    batch: int = 4096,
+    iters: int = 32,
+    alpha: float = 0.8,
+    key: jax.Array | None = None,
+    force_python: bool = False,
+) -> dict[str, float]:
+    """Monte-Carlo LER of BP + OSD-0 (device BP, native host OSD)."""
+    from tpugnn.baselines.osd import BPOSDDecoder
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    dec = BPOSDDecoder(graph, p=p, iters=iters, alpha=alpha,
+                       force_python=force_python)
+    n = graph.n_qubits
+    hx = np.asarray(graph.h_syn_ez)[: graph.n_checks, :n]
+    hz = np.asarray(graph.h_syn_ex)[: graph.n_checks, :n]
+    lx = np.asarray(graph.logicals_x)[:, :n]
+    lz = np.asarray(graph.logicals_z)[:, :n]
+
+    fails = 0
+    syn_mismatch = 0
+    total = 0
+    for _ in range(max(1, (shots + batch - 1) // batch)):
+        key, sub = jax.random.split(key)
+        b = sample_batch(sub, graph, p, batch)
+        ex = np.asarray(b.ex)[:, :n].astype(np.uint8)
+        ez = np.asarray(b.ez)[:, :n].astype(np.uint8)
+        ex_hat, ez_hat = dec.decode(b.syndrome)
+        rx = (ex ^ ex_hat) & 1
+        rz = (ez ^ ez_hat) & 1
+        sm = ((rx @ hz.T) % 2).any(axis=1) | ((rz @ hx.T) % 2).any(axis=1)
+        lf = ((rx @ lz.T) % 2).any(axis=1) | ((rz @ lx.T) % 2).any(axis=1)
+        fails += int(np.sum(sm | lf))
+        syn_mismatch += int(np.sum(sm))
+        total += batch
+    ler = fails / total
+    return {
+        "ler": ler,
+        "ler_stderr": (max(ler * (1 - ler), 1e-12) / total) ** 0.5,
+        "syn_mismatch_rate": syn_mismatch / total,
+        "shots": float(total),
+        "decoder": f"bp_osd0(iters={iters}, alpha={alpha})",
     }

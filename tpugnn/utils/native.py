@@ -26,6 +26,7 @@ _CSRC = os.path.join(os.path.dirname(_ROOT), "csrc")
 
 _u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 _i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
 
 
 def _build() -> bool:
@@ -46,8 +47,13 @@ def load() -> ctypes.CDLL | None:
         if _LIB is not None or _TRIED:
             return _LIB
         _TRIED = True
-        if not os.path.exists(_SO) and os.path.isdir(_CSRC):
-            _build()
+        if os.path.isdir(_CSRC):
+            stale = not os.path.exists(_SO) or any(
+                os.path.getmtime(os.path.join(_CSRC, f)) > os.path.getmtime(_SO)
+                for f in os.listdir(_CSRC)
+            )
+            if stale:
+                _build()
         if not os.path.exists(_SO):
             return None
         lib = ctypes.CDLL(_SO)
@@ -64,6 +70,12 @@ def load() -> ctypes.CDLL | None:
             _i32, _i32, ctypes.c_int, ctypes.c_int,   # edge endpoints, n_edges, n_verts
             _u8, ctypes.c_int,                         # syndromes [batch, n_verts], batch
             _u8,                                       # corrections out [batch, n_edges]
+        ]
+        lib.osd0_decode_batch.restype = ctypes.c_int
+        lib.osd0_decode_batch.argtypes = [
+            _u8, ctypes.c_int, ctypes.c_int,           # h [m, n], m, n
+            _u8, _f32, ctypes.c_int,                   # syndromes [batch, m], llrs [batch, n], batch
+            _u8,                                       # corrections out [batch, n]
         ]
         _LIB = lib
         return _LIB
