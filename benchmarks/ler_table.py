@@ -1,4 +1,4 @@
-"""Produce the LER parity table: GNN (all heads) vs union-find, from checkpoints.
+"""Produce the LER parity table: GNN (all heads) vs union-find vs BP+OSD-0.
 
     python benchmarks/ler_table.py --runs runs/v2_surface_d3:surface:3:64 \
         --runs runs/v2_surface_d5:surface:5:96 --shots 100000 --cpu
@@ -24,6 +24,9 @@ def main() -> int:
                          "detector graph (noise: phenomenological|circuit)")
     ap.add_argument("--ps", type=float, nargs="+", default=[0.01, 0.02, 0.03, 0.05])
     ap.add_argument("--shots", type=int, default=100_000)
+    ap.add_argument("--bp-iters", type=int, default=32)
+    ap.add_argument("--no-bp", action="store_true",
+                    help="skip the BP+OSD baseline column")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "LER_TABLE.md"))
     args = ap.parse_args()
@@ -36,7 +39,7 @@ def main() -> int:
 
     from tpugnn.configs import CodeConfig, ExperimentConfig, ModelConfig, TrainConfig
     from tpugnn.eval import ler_monte_carlo
-    from tpugnn.eval.baseline import ler_union_find
+    from tpugnn.eval.baseline import ler_bp_osd, ler_union_find
     from tpugnn.tanner import build_code
     from tpugnn.train.checkpoint import CheckpointManager
     from tpugnn.train.loop import init_state
@@ -75,24 +78,30 @@ def main() -> int:
                                  key=jax.random.PRNGKey(777))
             uf = ler_union_find(graph, p=p, shots=args.shots, batch=4096,
                                 key=jax.random.PRNGKey(777))
+            bposd = (None if args.no_bp else
+                     ler_bp_osd(graph, p=p, shots=args.shots, batch=4096,
+                                iters=args.bp_iters,
+                                key=jax.random.PRNGKey(777)))
             row = {"family": family if dt == 1 else graph.name, "d": d, "p": p,
                    "gnn_hybrid": ev.get("ler_hybrid"),
                    "gnn_logical": ev.get("ler_logical"),
                    "gnn_per_qubit": ev["ler"],
-                   "stderr": ev["ler_stderr"], "uf": uf["ler"]}
+                   "stderr": ev["ler_stderr"], "uf": uf["ler"],
+                   "bp_osd": None if bposd is None else bposd["ler"]}
             rows.append(row)
             print(json.dumps(row), flush=True)
 
     with open(args.out, "w") as f:
-        f.write("# Logical error rate: GNN decoder vs union-find\n\n")
+        f.write("# Logical error rate: GNN decoder vs classical baselines\n\n")
         f.write(f"Monte-Carlo, {args.shots} shots per point; stderr ~ binomial.\n\n")
-        f.write("| family | d | p | GNN hybrid | GNN logical-head | GNN per-qubit | union-find |\n")
-        f.write("|---|---|---|---|---|---|---|\n")
+        f.write("| family | d | p | GNN hybrid | GNN logical-head | GNN per-qubit | union-find | BP+OSD-0 |\n")
+        f.write("|---|---|---|---|---|---|---|---|\n")
         for r in rows:
+            bp = "—" if r.get("bp_osd") is None else f"{r['bp_osd']:.4g}"
             f.write(
                 f"| {r['family']} | {r['d']} | {r['p']} | "
                 f"{r['gnn_hybrid']:.4g} | {r['gnn_logical']:.4g} | "
-                f"{r['gnn_per_qubit']:.4g} | {r['uf']:.4g} |\n"
+                f"{r['gnn_per_qubit']:.4g} | {r['uf']:.4g} | {bp} |\n"
             )
     print(f"wrote {args.out}", file=sys.stderr)
     return 0
