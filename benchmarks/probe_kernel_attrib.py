@@ -38,8 +38,10 @@ import jax.numpy as jnp
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", nargs="+",
-                    default=["base", "sumrelu", "noslotrelu", "oneslot",
-                             "noln", "noupdate"])
+                    default=["base", "sumrelu", "fold", "interleave",
+                             "sumrelu+fold+interleave", "noslotrelu",
+                             "oneslot", "noln", "noupdate"],
+                    help="'+'-joined keys combine ablations in one kernel")
     ap.add_argument("--d", type=int, default=11)
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--rounds", type=int, default=8)
@@ -87,7 +89,7 @@ def main() -> int:
 
     results = {}
     for name in args.variants:
-        ablate = () if name == "base" else (name,)
+        ablate = () if name == "base" else tuple(name.split("+"))
         try:
             t0 = time.perf_counter()
             out = decoder_rounds(

@@ -86,7 +86,10 @@ def test_sumrelu_variant_matches_base():
 
     kw = dict(rounds=r, interpret=True, compute_dtype="float32", block_batch=4)
     base = decoder_rounds(xc, xq, syn, ops, weights, **kw)
-    alt = decoder_rounds(xc, xq, syn, ops, weights, ablate=("sumrelu",), **kw)
-    for a, bso in zip(alt, base):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(bso),
-                                   atol=1e-5, rtol=1e-5)
+    for ablate in (("sumrelu",), ("fold",), ("interleave",),
+                   ("sumrelu", "fold", "interleave")):
+        alt = decoder_rounds(xc, xq, syn, ops, weights, ablate=ablate, **kw)
+        for a, bso in zip(alt, base):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bso),
+                                       atol=1e-5, rtol=1e-5,
+                                       err_msg=str(ablate))

@@ -141,6 +141,14 @@ def _make_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt, ablate=frozenset()):
                    max(z, -y) + y, hoisting the +ydb adds out of the slot
                    loop (one fma after it) — fewer VPU passes, same math
                    up to f32 sum reassociation
+      fold       — EXACT (up to reassociation): the aggregation feeds only
+                   the update MLP, so wo@ua folds into one [MH, H] weight
+                   and deg*bo@ua into the bias operand — two GEMMs and two
+                   bias adds fewer per round (prep/pack must be called with
+                   fold=True so the w2/degbo operands carry folded values)
+      interleave — EXACT: both directions' slot loops merged into one loop
+                   so independent MXU (gather GEMM) and VPU (relu/acc) work
+                   is adjacent in program order for the scheduler
     """
 
     def dot2(a, b):
@@ -197,6 +205,27 @@ def _make_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt, ablate=frozenset()):
         degbo_c = degbo_c_ref[:]       # f32 [M, 1, H]: deg * b_out
         degbo_q = degbo_q_ref[:]
 
+        use_max = "sumrelu" in ablate
+
+        def slot_term(g_k, ys, ydb, nydb):
+            """One gather GEMM + its VPU pass (see slot_final for the two
+            algebraically-equal reduction forms)."""
+            zk = gdot(g_k, ys)                           # f32 [rows, TB, MH]
+            if "noslotrelu" in ablate:
+                return zk
+            if use_max:
+                return jnp.maximum(zk, nydb)
+            return jax.nn.relu(zk + ydb)
+
+        def slot_final(hs, ydb, defc, d):
+            if "noslotrelu" in ablate:
+                return hs
+            if use_max:
+                # relu(z+y) == max(z,-y) + y: the hoisted +ydb sum lands
+                # here once (D*ydb), with the same pad correction
+                return hs + jnp.float32(d) * ydb - defc * jax.nn.relu(ydb)
+            return hs - defc * jax.nn.relu(ydb)          # f32
+
         def slot_sum(g, ys, ydb, defc, d):
             # Mask-free slot-chunked gather+reduce: one [rows, src] x
             # [src, TB*MH] GEMM per slot k, consumed immediately (only one
@@ -207,30 +236,31 @@ def _make_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt, ablate=frozenset()):
             # (D - deg) * relu(ydb) once (exact: zk == 0 on padded slots).
             if "oneslot" in ablate:
                 d = 1
-            if "noslotrelu" in ablate:
-                hs = None
-                for k in range(d):
-                    zk = gdot(g[k], ys)
-                    hs = zk if hs is None else hs + zk
-                return hs
-            if "sumrelu" in ablate:
-                # exact rewrite: relu(z + y) == max(z, -y) + y, so the +ydb
-                # add and the relu collapse into one max per slot, with the
-                # hoisted sum D*ydb (and the same pad correction) applied
-                # once after the loop.  Same function, fewer VPU passes.
-                nydb = -ydb
-                hs = None
-                for k in range(d):
-                    zk = gdot(g[k], ys)                  # f32 [rows, TB, MH]
-                    t = jnp.maximum(zk, nydb)
-                    hs = t if hs is None else hs + t
-                return hs + jnp.float32(d) * ydb - defc * jax.nn.relu(ydb)
+            nydb = -ydb if use_max else None
             hs = None
             for k in range(d):
-                zk = gdot(g[k], ys)                      # f32 [rows, TB, MH]
-                t = jax.nn.relu(zk + ydb)
+                t = slot_term(g[k], ys, ydb, nydb)
                 hs = t if hs is None else hs + t
-            return hs - defc * jax.nn.relu(ydb)          # f32
+            return slot_final(hs, ydb, defc, d)
+
+        def slot_sum_interleaved(ys_c, ydb_c, ys_q, ydb_q):
+            # Both directions in one loop: each iteration has a GEMM and a
+            # VPU pass with no dependency between the two directions, so the
+            # scheduler can overlap MXU and VPU work across them.
+            dc = 1 if "oneslot" in ablate else Dc
+            dq = 1 if "oneslot" in ablate else Dq
+            nydb_c = -ydb_c if use_max else None
+            nydb_q = -ydb_q if use_max else None
+            hs_c = hs_q = None
+            for k in range(max(dc, dq)):
+                if k < dc:
+                    t = slot_term(g_c[k], ys_c, ydb_c, nydb_c)
+                    hs_c = t if hs_c is None else hs_c + t
+                if k < dq:
+                    t = slot_term(g_q[k], ys_q, ydb_q, nydb_q)
+                    hs_q = t if hs_q is None else hs_q + t
+            return (slot_final(hs_c, ydb_c, defc_c, dc),
+                    slot_final(hs_q, ydb_q, defc_q, dq))
 
         def round_body(_, carry):
             xc, xq = carry                               # cdt
@@ -245,10 +275,23 @@ def _make_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt, ablate=frozenset()):
             xc_ux = yc[..., 2*MH:]                       # xc @ uc_x (f32)
             xq_ux = yq[..., 2*MH:]                       # xq @ uq_x
 
-            hs_c = slot_sum(g_c, ys_c, ydb_c, defc_c, Dc).astype(cdt)
-            agg_c = (dot2(hs_c, wo_c) + degbo_c).astype(cdt)
-            hs_q = slot_sum(g_q, ys_q, ydb_q, defc_q, Dq).astype(cdt)
-            agg_q = (dot2(hs_q, wo_q) + degbo_q).astype(cdt)
+            if "interleave" in ablate:
+                hs_c, hs_q = slot_sum_interleaved(ys_c, ydb_c, ys_q, ydb_q)
+                hs_c = hs_c.astype(cdt)
+                hs_q = hs_q.astype(cdt)
+            else:
+                hs_c = slot_sum(g_c, ys_c, ydb_c, defc_c, Dc).astype(cdt)
+                hs_q = slot_sum(g_q, ys_q, ydb_q, defc_q, Dq).astype(cdt)
+            if "fold" in ablate:
+                # wo_c/wo_q hold the folded wo@ua weights and degbo_c/q the
+                # folded deg*bo@ua biases (see prep_operators/pack_weights
+                # fold=True); the aggregation lands directly in the update
+                # MLP's pre-activation — no intermediate agg GEMM.
+                agg_c = dot2(hs_c, wo_c) + degbo_c
+                agg_q = dot2(hs_q, wo_q) + degbo_q
+            else:
+                agg_c = (dot2(hs_c, wo_c) + degbo_c).astype(cdt)
+                agg_q = (dot2(hs_q, wo_q) + degbo_q).astype(cdt)
 
             # --- updates (residual MLP + LayerNorm, f32 VPU math) ---------
             ln = (lambda x, s, b: x * s + b) if "noln" in ablate else _ln
@@ -262,13 +305,18 @@ def _make_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt, ablate=frozenset()):
                     lnq_s, lnq_b,
                 ).astype(cdt)
                 return xc_new, xq_new
-            hc = jax.nn.relu(
-                xc_ux + dot2(agg_c, uc_a) + syn_ucs + uc_b0
-            ).astype(cdt)
+            if "fold" in ablate:
+                # agg_* already carries the @ua projection (folded weights)
+                pre_c = xc_ux + agg_c + syn_ucs + uc_b0
+                pre_q = xq_ux + agg_q + uq_b0
+            else:
+                pre_c = xc_ux + dot2(agg_c, uc_a) + syn_ucs + uc_b0
+                pre_q = xq_ux + dot2(agg_q, uq_a) + uq_b0
+            hc = jax.nn.relu(pre_c).astype(cdt)
             xc_new = ln(
                 xc.astype(jnp.float32) + dot2(hc, uc_w1) + uc_b1, lnc_s, lnc_b
             ).astype(cdt)
-            hq = jax.nn.relu(xq_ux + dot2(agg_q, uq_a) + uq_b0).astype(cdt)
+            hq = jax.nn.relu(pre_q).astype(cdt)
             xq_new = ln(
                 xq.astype(jnp.float32) + dot2(hq, uq_w1) + uq_b1, lnq_s, lnq_b
             ).astype(cdt)
@@ -345,7 +393,8 @@ def decoder_rounds(
     return from_tiles(xc_o, m, h), from_tiles(xq_o, n, h)
 
 
-def prep_operators(operators: tuple, weights: RoundWeights, mh: int, cdt):
+def prep_operators(operators: tuple, weights: RoundWeights, mh: int, cdt,
+                   fold: bool = False):
     """Kernel-layout constants from make_operators output.
 
     Operators are reordered slot-major ([D, rows, src]: row index in
@@ -369,10 +418,15 @@ def prep_operators(operators: tuple, weights: RoundWeights, mh: int, cdt):
     defc_q = jnp.broadcast_to((dq - deg_q).reshape(-1, 1, 1), (n, 1, mh)).astype(f32)
     degbo_c = (deg_c.reshape(-1, 1, 1) * weights.bo_c[0]).astype(f32)
     degbo_q = (deg_q.reshape(-1, 1, 1) * weights.bo_q[0]).astype(f32)
+    if fold:
+        # the kernel's fold variant skips the @ua GEMM, so the constant
+        # aggregation bias must carry it: (deg * bo) @ ua, f32 outside
+        degbo_c = degbo_c @ weights.uc_a.astype(f32)
+        degbo_q = degbo_q @ weights.uq_a.astype(f32)
     return g_c, defc_c, degbo_c, g_q, defc_q, degbo_q
 
 
-def pack_weights(w: RoundWeights, cdt):
+def pack_weights(w: RoundWeights, cdt, fold: bool = False):
     """Pack the ~30 weight leaves into 5 kernel operands.
 
     Fewer per-grid-step DMAs; GEMM weights pre-cast to the compute dtype,
@@ -390,8 +444,14 @@ def pack_weights(w: RoundWeights, cdt):
     f32 = jnp.float32
     wproj_c = jnp.concatenate([w.wd_c, w.ws_q, w.uc_x], axis=1).astype(cdt)
     wproj_q = jnp.concatenate([w.ws_c, w.wd_q, w.uq_x], axis=1).astype(cdt)
+    wo_c, wo_q = w.wo_c, w.wo_q
+    if fold:
+        # aggregation only feeds the update MLP: fold wo@ua into one weight
+        # (f32 product, then one cast — the ua slots below become unused)
+        wo_c = wo_c.astype(f32) @ w.uc_a.astype(f32)
+        wo_q = wo_q.astype(f32) @ w.uq_a.astype(f32)
     w2 = jnp.concatenate(
-        [w.wo_c, w.wo_q, w.uc_a, w.uq_a, w.uc_w1, w.uq_w1], axis=0
+        [wo_c, wo_q, w.uc_a, w.uq_a, w.uc_w1, w.uq_w1], axis=0
     ).astype(cdt)
     bmh = jnp.concatenate([w.b0_c, w.b0_q], axis=0).astype(f32)
     bh = jnp.concatenate(
@@ -433,8 +493,9 @@ def decoder_rounds_tiled(
     mh = weights.wd_c.shape[1]
     cdt = jnp.dtype(compute_dtype)
 
-    ops = prep_operators(operators, weights, mh, cdt)
-    packs = pack_weights(weights, cdt)
+    fold = "fold" in ablate
+    ops = prep_operators(operators, weights, mh, cdt, fold=fold)
+    packs = pack_weights(weights, cdt, fold=fold)
 
     kernel = _make_kernel(m, n, dc, dq, h, mh, rounds, tb, cdt,
                           ablate=frozenset(ablate))
