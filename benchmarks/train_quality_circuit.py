@@ -1,0 +1,98 @@
+"""Circuit-level-noise quality runs: train GNN decoders on the detector
+graphs of the full syndrome-extraction circuit (tanner/circuit.py) and
+compare against the union-find and BP+OSD baselines.
+
+CPU-friendly sizes (the circuit graphs are small); checkpoints into
+runs/circuit_surface_d{d}_t{dt}.
+
+    python benchmarks/train_quality_circuit.py [--specs 3:3 5:5] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--specs", nargs="+", default=["3:3", "5:5"],
+                    help="d:dt pairs")
+    ap.add_argument("--family", default="surface")
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--hidden", type=int, default=96)
+    ap.add_argument("--rounds", type=int, default=8)
+    ap.add_argument("--p", type=float, default=0.008,
+                    help="training physical fault rate (circuit-level)")
+    ap.add_argument("--eval-ps", type=float, nargs="+",
+                    default=[0.003, 0.005, 0.008])
+    ap.add_argument("--eval-shots", type=int, default=65536)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from tpugnn.configs import CodeConfig, ExperimentConfig, ModelConfig, TrainConfig
+    from tpugnn.eval import ler_monte_carlo
+    from tpugnn.eval.baseline import ler_bp_osd, ler_union_find
+    from tpugnn.tanner.circuit import build_circuit_code
+    from tpugnn.train import train
+
+    for spec in args.specs:
+        d, dt = (int(x) for x in spec.split(":"))
+        out = f"runs/circuit_{args.family}_d{d}_t{dt}"
+        graph = build_circuit_code(args.family, d, dt)
+        cfg = ExperimentConfig(
+            code=CodeConfig(family=args.family, distance=d, p=args.p),
+            model=ModelConfig(
+                hidden=args.hidden, msg_hidden=args.hidden,
+                rounds=args.rounds, backend="fused", readout="both",
+            ),
+            train=TrainConfig(
+                batch=args.batch, steps=args.steps, lr=1e-3,
+                warmup_steps=200, eval_every=1000, eval_shots=8192,
+                checkpoint_dir=os.path.abspath(out),
+                metrics_jsonl=os.path.join(out, "metrics.jsonl"),
+            ),
+        )
+        t0 = time.time()
+        print(f"=== circuit {args.family} d={d} dt={dt} ({graph.name}) "
+              f"n={graph.n_qubits} m={graph.n_checks} -> {out} ===",
+              flush=True)
+        state, model, graph, history = train(
+            cfg, graph=graph, log=lambda s: print(s, flush=True))
+        print(json.dumps({"d": d, "dt": dt,
+                          "wall_s": round(time.time() - t0, 1),
+                          "final": history[-1] if history else {}}),
+              flush=True)
+        for p in args.eval_ps:
+            ev = ler_monte_carlo(model.apply, state.params, graph, p=p,
+                                 shots=args.eval_shots, batch=4096,
+                                 key=jax.random.PRNGKey(777))
+            uf = ler_union_find(graph, p=p, shots=args.eval_shots,
+                                batch=4096, key=jax.random.PRNGKey(777))
+            bposd = ler_bp_osd(graph, p=p, shots=args.eval_shots,
+                               batch=4096, key=jax.random.PRNGKey(777))
+            print(json.dumps({
+                "graph": graph.name, "p": p,
+                "gnn_hybrid": ev.get("ler_hybrid"),
+                "gnn_logical": ev.get("ler_logical"),
+                "gnn_per_qubit": ev["ler"],
+                "uf": uf["ler"], "bp_osd": bposd["ler"],
+                "shots": args.eval_shots,
+            }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
