@@ -24,6 +24,7 @@ def main() -> int:
     ap.add_argument("--specs", nargs="+", default=["3:3", "5:5"],
                     help="d:dt pairs")
     ap.add_argument("--family", default="surface")
+    ap.add_argument("--sector", default="z", choices=["z", "x"])
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--hidden", type=int, default=96)
@@ -51,7 +52,9 @@ def main() -> int:
     for spec in args.specs:
         d, dt = (int(x) for x in spec.split(":"))
         out = f"runs/circuit_{args.family}_d{d}_t{dt}"
-        graph = build_circuit_code(args.family, d, dt)
+        if args.sector != "z":
+            out += f"_{args.sector}"
+        graph = build_circuit_code(args.family, d, dt, sector=args.sector)
         cfg = ExperimentConfig(
             code=CodeConfig(family=args.family, distance=d, p=args.p),
             model=ModelConfig(

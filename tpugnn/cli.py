@@ -41,6 +41,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dt", type=int, default=1,
                    help="syndrome-measurement rounds; >1 decodes a "
                         "spacetime detector graph (see --noise)")
+    p.add_argument("--sector", default="z", choices=["z", "x"],
+                   help="CSS sector of the --noise circuit detector graph")
     p.add_argument("--noise", default="phenomenological",
                    choices=["phenomenological", "circuit"],
                    help="spacetime noise model for --dt > 1: independent "
@@ -119,7 +121,7 @@ def main(argv: list[str] | None = None) -> int:
                 from tpugnn.tanner.circuit import build_circuit_code
 
                 return build_circuit_code(cfg.code.family, cfg.code.distance,
-                                          args.dt)
+                                          args.dt, sector=args.sector)
             from tpugnn.tanner.spacetime import build_spacetime_code
 
             return build_spacetime_code(cfg.code.family, cfg.code.distance,
