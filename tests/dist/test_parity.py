@@ -18,7 +18,11 @@ from tpugnn.sampling import sample_batch
 from tpugnn.train.loop import init_state, loss_fn
 
 
-@pytest.mark.parametrize("family,d,P", [("surface", 5, 4), ("toric", 3, 2)])
+@pytest.mark.parametrize("family,d,P", [
+    ("surface", 5, 4), ("toric", 3, 2),
+    # BASELINE configs[5]: d=15+ edge-partitioned decoding, full mesh
+    ("surface", 15, 8),
+])
 def test_sharded_forward_matches_single_device(family, d, P, devices8):
     graph, pg = build_partitioned_code(family, d, P)
     mesh = make_mesh(MeshConfig(data=1, graph=P), n_devices=P)
