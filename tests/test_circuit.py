@@ -213,3 +213,44 @@ def test_toric_circuit_graph():
 def test_unknown_family_raises():
     with pytest.raises(ValueError, match="surface.*toric"):
         build_circuit_code("repetition", 3, 3)
+
+
+@pytest.mark.parametrize("family,d,d_t", [("surface", 3, 3), ("toric", 3, 2)])
+def test_closed_form_matches_simulation_x_sector(family, d, d_t):
+    """sector='x' swaps (own, other) schedules; the closed-form detector
+    rules must match the simulator fault-by-fault in that orientation too."""
+    hx, hz = CHECKS[family](d)
+    x_sched, z_sched = SCHEDULES[family](d)
+    n = hx.shape[1]
+    m = len(x_sched)
+    for prims, _ in elementary_faults(x_sched, z_sched, n, d_t):
+        det_sim, x_sim = simulate_circuit(x_sched, z_sched, n, d_t, prims)
+        eff = fault_effect(prims, x_sched, z_sched, n, d_t)
+        sym = np.zeros(m * d_t, np.uint8)
+        err = np.zeros(n, np.uint8)
+        if eff is not None:
+            sym[sorted(eff[0])] = 1
+            err[sorted(eff[1])] = 1
+        np.testing.assert_array_equal(sym, det_sim, err_msg=f"prims={prims}")
+        np.testing.assert_array_equal(err, x_sim, err_msg=f"prims={prims}")
+
+
+def test_x_sector_graph_pipeline():
+    """sector='x' detector graph: sampling -> syndrome consistency -> decode."""
+    g = build_circuit_code("surface", 3, 3, sector="x")
+    gz = build_circuit_code("surface", 3, 3, sector="z")
+    assert g.k == gz.k == 1
+    # dual sectors of the rotated surface code have equal detector counts
+    assert g.n_checks == gz.n_checks
+    b = sample_batch(jax.random.PRNGKey(0), g, 0.01, 256)
+    import jax.numpy as jnp
+
+    ex0 = jnp.mod(b.syndrome @ g.pure_ex.T, 2.0)
+    s2 = syndrome(g, ex0, jnp.zeros_like(ex0))
+    np.testing.assert_array_equal(np.asarray(s2), np.asarray(b.syndrome))
+
+    from tpugnn.eval.baseline import ler_bp_osd, ler_union_find
+
+    uf = ler_union_find(g, p=0.004, shots=4096, batch=2048)
+    bo = ler_bp_osd(g, p=0.004, shots=4096, batch=2048, iters=24)
+    assert uf["ler"] < 0.05 and bo["ler"] < 0.05
