@@ -1,6 +1,7 @@
-"""Circuit-level-noise quality runs: train GNN decoders on the detector
-graphs of the full syndrome-extraction circuit (tanner/circuit.py) and
-compare against the union-find and BP+OSD baselines.
+"""Spacetime quality runs: train GNN decoders on detector graphs —
+circuit-level (tanner/circuit.py, default) or phenomenological
+(tanner/spacetime.py, --noise phenomenological) — and compare against the
+union-find and BP+OSD baselines.
 
 CPU-friendly sizes (the circuit graphs are small); checkpoints into
 runs/circuit_surface_d{d}_t{dt}.
@@ -25,6 +26,8 @@ def main() -> int:
                     help="d:dt pairs")
     ap.add_argument("--family", default="surface")
     ap.add_argument("--sector", default="z", choices=["z", "x"])
+    ap.add_argument("--noise", default="circuit",
+                    choices=["circuit", "phenomenological"])
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--hidden", type=int, default=96)
@@ -51,10 +54,18 @@ def main() -> int:
 
     for spec in args.specs:
         d, dt = (int(x) for x in spec.split(":"))
-        out = f"runs/circuit_{args.family}_d{d}_t{dt}"
+        kind = "circuit" if args.noise == "circuit" else "spacetime"
+        out = f"runs/{kind}_{args.family}_d{d}_t{dt}"
         if args.sector != "z":
             out += f"_{args.sector}"
-        graph = build_circuit_code(args.family, d, dt, sector=args.sector)
+        if args.noise == "circuit":
+            graph = build_circuit_code(args.family, d, dt,
+                                       sector=args.sector)
+        else:
+            from tpugnn.tanner.spacetime import build_spacetime_code
+
+            graph = build_spacetime_code(args.family, d, dt,
+                                         sector=args.sector)
         cfg = ExperimentConfig(
             code=CodeConfig(family=args.family, distance=d, p=args.p),
             model=ModelConfig(
@@ -69,7 +80,7 @@ def main() -> int:
             ),
         )
         t0 = time.time()
-        print(f"=== circuit {args.family} d={d} dt={dt} ({graph.name}) "
+        print(f"=== {kind} {args.family} d={d} dt={dt} ({graph.name}) "
               f"n={graph.n_qubits} m={graph.n_checks} -> {out} ===",
               flush=True)
         state, model, graph, history = train(
