@@ -25,6 +25,10 @@ def main() -> int:
     ap.add_argument("--ps", type=float, nargs="+", default=[0.01, 0.02, 0.03, 0.05])
     ap.add_argument("--shots", type=int, default=100_000)
     ap.add_argument("--bp-iters", type=int, default=32)
+    ap.add_argument("--baseline-cache", default=None,
+                    help="baseline_ler.jsonl from benchmarks/baseline_table"
+                         ".py; matching (family, d, p, decoder) rows are "
+                         "reused instead of re-sampling baselines inline")
     ap.add_argument("--no-bp", action="store_true",
                     help="skip the BP+OSD baseline column")
     ap.add_argument("--cpu", action="store_true")
@@ -36,6 +40,16 @@ def main() -> int:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    cache = {}
+    if args.baseline_cache and os.path.exists(args.baseline_cache):
+        with open(args.baseline_cache) as f:
+            for line in f:
+                try:
+                    r = json.loads(line)
+                    cache[(r["family"], r["d"], r["p"], r["decoder"])] = r
+                except Exception:
+                    pass
 
     from tpugnn.configs import CodeConfig, ExperimentConfig, ModelConfig, TrainConfig
     from tpugnn.eval import ler_monte_carlo
@@ -76,9 +90,13 @@ def main() -> int:
             ev = ler_monte_carlo(model.apply, restored.params, graph, p=p,
                                  shots=args.shots, batch=4096,
                                  key=jax.random.PRNGKey(777))
-            uf = ler_union_find(graph, p=p, shots=args.shots, batch=4096,
-                                key=jax.random.PRNGKey(777))
+            cuf = cache.get((family, d, p, "uf")) if dt == 1 else None
+            cbp = cache.get((family, d, p, "bp_osd")) if dt == 1 else None
+            uf = cuf if cuf is not None else ler_union_find(
+                graph, p=p, shots=args.shots, batch=4096,
+                key=jax.random.PRNGKey(777))
             bposd = (None if args.no_bp else
+                     cbp if cbp is not None else
                      ler_bp_osd(graph, p=p, shots=args.shots, batch=4096,
                                 iters=args.bp_iters,
                                 key=jax.random.PRNGKey(777)))
