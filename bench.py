@@ -41,15 +41,17 @@ def _time_fn(fn, *args, iters: int, warmup: int = 2, chain: int = 10) -> float:
     Chaining amortizes it the same way a pipelined training/serving loop
     does, so this measures what the chip actually sustains.
     """
+    from tpugnn.utils.timing import hard_sync
+
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    hard_sync(out)
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         for _ in range(chain):
             out = fn(*args)
-        jax.block_until_ready(out)
+        hard_sync(out)
         times.append((time.perf_counter() - t0) / chain)
     return statistics.median(times)
 

@@ -34,6 +34,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+from tpugnn.utils.timing import hard_sync
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -96,7 +98,7 @@ def main() -> int:
                 xc, xq, syn, ops, weights, rounds=args.rounds,
                 block_batch=args.tb, compute_dtype=args.dtype, ablate=ablate,
             )
-            jax.block_until_ready(out)
+            hard_sync(out)
             compile_s = time.perf_counter() - t0
             ts = []
             for _ in range(args.iters):
@@ -107,7 +109,7 @@ def main() -> int:
                         block_batch=args.tb, compute_dtype=args.dtype,
                         ablate=ablate,
                     )
-                jax.block_until_ready(out)
+                hard_sync(out)
                 ts.append((time.perf_counter() - t0) / args.chain)
             t = statistics.median(ts)
             results[name] = t

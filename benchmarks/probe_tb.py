@@ -26,6 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+from tpugnn.utils.timing import hard_sync
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -75,7 +77,7 @@ def main() -> int:
 
         try:
             out = decode(params, b.syndrome)
-            jax.block_until_ready(out)
+            hard_sync(out)
             # reference correctness check once per TB against TB=4's output
             if ref is None:
                 ref = jax.device_get(out)
@@ -88,7 +90,7 @@ def main() -> int:
                 t0 = time.perf_counter()
                 for _ in range(args.chain):
                     out = decode(params, b.syndrome)
-                jax.block_until_ready(out)
+                hard_sync(out)
                 ts.append((time.perf_counter() - t0) / args.chain)
             t = statistics.median(ts)
             print(json.dumps({"tb": tb, "step_ms": round(t * 1e3, 2),

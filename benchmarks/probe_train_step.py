@@ -26,6 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+from tpugnn.utils.timing import hard_sync
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -94,14 +96,14 @@ def main() -> int:
         try:
             t0 = time.perf_counter()
             state, metrics = step(state, graph)
-            jax.block_until_ready(metrics["loss"])
+            hard_sync(metrics["loss"])
             compile_s = time.perf_counter() - t0
             ts = []
             for _ in range(args.iters):
                 t0 = time.perf_counter()
                 for _ in range(args.chain):
                     state, metrics = step(state, graph)
-                jax.block_until_ready(metrics["loss"])
+                hard_sync(metrics["loss"])
                 ts.append((time.perf_counter() - t0) / args.chain)
             t = statistics.median(ts)
             print(json.dumps({

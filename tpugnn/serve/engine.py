@@ -72,7 +72,9 @@ class DecodeEngine:
         self._decode = _decode
         # warm up: compile at the serving batch size
         dummy = jnp.zeros((max_batch, self.graph.n_checks_pad), jnp.float32)
-        jax.block_until_ready(self._decode(self.params, dummy))
+        from tpugnn.utils.timing import hard_sync
+
+        hard_sync(self._decode(self.params, dummy))
 
     @classmethod
     def from_checkpoint(

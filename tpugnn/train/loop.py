@@ -202,7 +202,9 @@ def train(cfg: ExperimentConfig, *, graph: TannerGraph | None = None, log=print)
             jax.profiler.start_trace(cfg.train.profile_dir)
         state, metrics = step_fn(state, graph)
         if cfg.train.profile_dir and i == 14:
-            jax.block_until_ready(metrics["loss"])
+            from tpugnn.utils.timing import hard_sync
+
+            hard_sync(metrics["loss"])
             jax.profiler.stop_trace()
         if (i + 1) % max(1, cfg.train.eval_every) == 0 or i + 1 == cfg.train.steps:
             m = {k: float(v) for k, v in metrics.items()}
