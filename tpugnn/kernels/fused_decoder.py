@@ -56,7 +56,12 @@ _VMEM_LIMIT = 64 * 1024 * 1024  # Mosaic scoped-VMEM ceiling for the kernel
 # pass ablate=None get these; ablate=() forces the original schedule (the
 # parity tests diff the two).  Every key here MUST compute the same
 # function as the base kernel (up to f32 reassociation).
-PROD_VARIANTS: tuple = ()
+#
+# Promoted 2026-08-19 from runs/probe_attrib.json (v5e hardware): the combo
+# measured 1.67x the base schedule (and above the function-changing
+# 'oneslot' ablation — slot gathers are no longer the limiter).  Parity vs
+# the base schedule is enforced by test_prod_variants_match_original_schedule.
+PROD_VARIANTS: tuple = ("sumrelu", "fold", "interleave")
 
 
 def pick_block_batch(slots: int, mh: int, itemsize: int, batch: int,
