@@ -45,11 +45,16 @@ def test_forward_matches_xla_twin(family, d, rounds):
                                atol=1e-4, rtol=1e-4)
 
 
-@pytest.mark.parametrize("family,d,rounds", [("surface", 3, 2), ("surface", 5, 3)])
-def test_gradients_match_xla_twin(family, d, rounds):
+@pytest.mark.parametrize("family,d,rounds,ablate", [
+    ("surface", 3, 2, None),       # None -> PROD_VARIANTS (promoted schedule)
+    ("surface", 5, 3, None),
+    ("surface", 3, 2, ()),         # base schedule stays covered
+    ("surface", 3, 3, ("fold",)),  # fold alone (folded-operand grad un-fold)
+])
+def test_gradients_match_xla_twin(family, d, rounds, ablate):
     g, ops, w, xc, xq, syn, _ = _setup(family, d, rounds)
     f = kernel_trained_rounds(ops, rounds=rounds, compute_dtype="float32",
-                              interpret=True)
+                              interpret=True, ablate=ablate)
     kc2, kq2 = jax.random.split(jax.random.PRNGKey(7))
     cot_c = jax.random.normal(kc2, xc.shape, jnp.float32)
     cot_q = jax.random.normal(kq2, xq.shape, jnp.float32)

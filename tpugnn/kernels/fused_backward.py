@@ -16,6 +16,19 @@ kernel exists to avoid.  This module keeps the whole VJP on-chip:
   deterministic).  Weight gradients accumulate across grid steps into
   revisited output blocks (initialized at program 0).
 
+The kernels honour the same exact-rewrite schedule variants as the
+inference kernel (fused_decoder.PROD_VARIANTS is the default):
+
+* ``sumrelu``    — relu(z+y) = max(z,-y)+y in the slot replay (the adjoint
+  is unchanged: both forms share the (z+y > 0) subgradient mask).
+* ``fold``       — wo@ua folded into one [MH, H] weight and (deg*bo)@ua
+  into the aggregation bias; the fold products are taken in differentiable
+  outer-JAX packing, so the kernel computes gradients w.r.t. the FOLDED
+  operands and autodiff un-folds them into dwo/dua/dbo.  Drops one GEMM
+  per direction from the replay AND two from the adjoint chain.
+* ``interleave`` — both directions' slot loops (replay and adjoint) merged
+  so independent MXU and VPU work is adjacent for the scheduler.
+
 The custom_vjp core takes f32 params/states and casts to the compute dtype
 inside (so AD sees f32 cotangents; standard mixed-precision practice), and
 closes over the non-differentiable graph operators.  Everything around the
@@ -23,7 +36,8 @@ core — weight packing, degree x bias folding, syndrome-term product,
 batch<->tile transposes — is plain JAX and differentiates automatically.
 
 Gradients are validated against jax.grad through fused_decoder.rounds_xla
-(tests/kernels/test_fused_backward.py).
+(tests/kernels/test_fused_backward.py), for the promoted variant schedule
+and the base schedule alike.
 
 Reference provenance: the reference trains by torch autograd replaying
 gather/scatter transposed [SURVEY.md §3.1 "autograd replays gather/scatter
@@ -86,17 +100,32 @@ def _rsum(x):
     return jnp.sum(x.reshape(-1, x.shape[-1]), axis=0, keepdims=True)
 
 
-def _round_fwd(xc, xq, consts, *, want_residuals: bool):
-    """One round's forward from cdt states; mirrors fused_decoder's kernel.
+def _unpack_w2(w2, MH, H, fold):
+    """Slice the packed second-stage weights (layout depends on fold)."""
+    wo_c, wo_q = w2[0:MH], w2[MH:2 * MH]
+    if fold:
+        # wo_* already carry the @ua projection; the ua slots don't exist
+        uc_a = uq_a = None
+        uc_w1, uq_w1 = w2[2 * MH:2 * MH + H], w2[2 * MH + H:2 * MH + 2 * H]
+    else:
+        uc_a, uq_a = w2[2 * MH:2 * MH + H], w2[2 * MH + H:2 * MH + 2 * H]
+        uc_w1 = w2[2 * MH + 2 * H:2 * MH + 3 * H]
+        uq_w1 = w2[2 * MH + 3 * H:2 * MH + 4 * H]
+    return wo_c, wo_q, uc_a, uq_a, uc_w1, uq_w1
+
+
+def _round_fwd(xc, xq, consts, *, want_residuals: bool, ablate=frozenset()):
+    """One round's forward from cdt states; mirrors fused_decoder's kernel
+    (including its exact-rewrite schedule variants).
 
     Returns (xc_new, xq_new) and, when ``want_residuals``, the f32/cdt
     intermediates the adjoint consumes.
     """
     (g_c, defc_c, degbo_c, g_q, defc_q, degbo_q,
      wproj_c, wproj_q, w2, bmh, bh, syn_ucs, MH, H, Dc, Dq, cdt) = consts
-    wo_c, wo_q = w2[0:MH], w2[MH:2*MH]
-    uc_a, uq_a = w2[2*MH:2*MH+H], w2[2*MH+H:2*MH+2*H]
-    uc_w1, uq_w1 = w2[2*MH+2*H:2*MH+3*H], w2[2*MH+3*H:2*MH+4*H]
+    fold = "fold" in ablate
+    use_max = "sumrelu" in ablate
+    wo_c, wo_q, uc_a, uq_a, uc_w1, uq_w1 = _unpack_w2(w2, MH, H, fold)
     b0_c, b0_q = bmh[0:1], bmh[1:2]
     uc_b0, uc_b1, uq_b0, uq_b1 = bh[0:1], bh[1:2], bh[2:3], bh[3:4]
     lnc_s, lnc_b, lnq_s, lnq_b = bh[4:5], bh[5:6], bh[6:7], bh[7:8]
@@ -110,22 +139,54 @@ def _round_fwd(xc, xq, consts, *, want_residuals: bool):
     xc_ux = yc[..., 2*MH:]
     xq_ux = yq[..., 2*MH:]
 
-    def slot_sum(g, ys, ydb, defc, d):
-        hs = None
-        for k in range(d):
-            t = jax.nn.relu(_gdot(g[k], ys) + ydb)
-            hs = t if hs is None else hs + t
+    def term(g_k, ys, ydb, nydb):
+        zk = _gdot(g_k, ys)
+        if use_max:
+            return jnp.maximum(zk, nydb)
+        return jax.nn.relu(zk + ydb)
+
+    def fin(hs, ydb, defc, d):
+        if use_max:
+            # relu(z+y) == max(z,-y) + y: the hoisted +ydb sum lands here
+            # once, with the same pad-slot correction
+            return hs + jnp.float32(d) * ydb - defc * jax.nn.relu(ydb)
         return hs - defc * jax.nn.relu(ydb)
 
-    hs_c = slot_sum(g_c, ys_c, ydb_c, defc_c, Dc).astype(cdt)
-    agg_c = (_dot2(hs_c, wo_c) + degbo_c).astype(cdt)
-    hs_q = slot_sum(g_q, ys_q, ydb_q, defc_q, Dq).astype(cdt)
-    agg_q = (_dot2(hs_q, wo_q) + degbo_q).astype(cdt)
+    nydb_c = -ydb_c if use_max else None
+    nydb_q = -ydb_q if use_max else None
+    if "interleave" in ablate:
+        hs_c = hs_q = None
+        for k in range(max(Dc, Dq)):
+            if k < Dc:
+                t = term(g_c[k], ys_c, ydb_c, nydb_c)
+                hs_c = t if hs_c is None else hs_c + t
+            if k < Dq:
+                t = term(g_q[k], ys_q, ydb_q, nydb_q)
+                hs_q = t if hs_q is None else hs_q + t
+    else:
+        hs_c = hs_q = None
+        for k in range(Dc):
+            t = term(g_c[k], ys_c, ydb_c, nydb_c)
+            hs_c = t if hs_c is None else hs_c + t
+        for k in range(Dq):
+            t = term(g_q[k], ys_q, ydb_q, nydb_q)
+            hs_q = t if hs_q is None else hs_q + t
+    hs_c = fin(hs_c, ydb_c, defc_c, Dc).astype(cdt)
+    hs_q = fin(hs_q, ydb_q, defc_q, Dq).astype(cdt)
 
-    t_c = xc_ux + _dot2(agg_c, uc_a) + syn_ucs + uc_b0
+    if fold:
+        # wo_* are folded wo@ua, degbo_* are folded (deg*bo)@ua: the
+        # aggregation lands directly in the update pre-activation
+        agg_c = agg_q = None
+        t_c = xc_ux + (_dot2(hs_c, wo_c) + degbo_c) + syn_ucs + uc_b0
+        t_q = xq_ux + (_dot2(hs_q, wo_q) + degbo_q) + uq_b0
+    else:
+        agg_c = (_dot2(hs_c, wo_c) + degbo_c).astype(cdt)
+        agg_q = (_dot2(hs_q, wo_q) + degbo_q).astype(cdt)
+        t_c = xc_ux + _dot2(agg_c, uc_a) + syn_ucs + uc_b0
+        t_q = xq_ux + _dot2(agg_q, uq_a) + uq_b0
     hc = jax.nn.relu(t_c).astype(cdt)
     pre_c = xc.astype(f32) + _dot2(hc, uc_w1) + uc_b1
-    t_q = xq_ux + _dot2(agg_q, uq_a) + uq_b0
     hq = jax.nn.relu(t_q).astype(cdt)
     pre_q = xq.astype(f32) + _dot2(hq, uq_w1) + uq_b1
 
@@ -146,7 +207,7 @@ def _round_fwd(xc, xq, consts, *, want_residuals: bool):
     return out, res
 
 
-def _make_fwd_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt):
+def _make_fwd_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt, ablate=frozenset()):
     def kernel(xc_ref, xq_ref, syn_ref,
                g_c_ref, defc_c_ref, degbo_c_ref, g_q_ref, defc_q_ref,
                degbo_q_ref, wproj_c_ref, wproj_q_ref, w2_ref, bmh_ref, bh_ref,
@@ -161,14 +222,18 @@ def _make_fwd_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt):
         for r in range(R):  # static unroll: stash writes need static indices
             stash_c_ref[0, r] = xc
             stash_q_ref[0, r] = xq
-            xc, xq = _round_fwd(xc, xq, consts, want_residuals=False)
+            xc, xq = _round_fwd(xc, xq, consts, want_residuals=False,
+                                ablate=ablate)
         out_xc_ref[0] = xc
         out_xq_ref[0] = xq
 
     return kernel
 
 
-def _make_bwd_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt):
+def _make_bwd_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt, ablate=frozenset()):
+    fold = "fold" in ablate
+    interleave = "interleave" in ablate
+
     def kernel(stash_c_ref, stash_q_ref, syn_ref, dxc_o_ref, dxq_o_ref,
                g_c_ref, gT_c_ref, defc_c_ref, degbo_c_ref,
                g_q_ref, gT_q_ref, defc_q_ref, degbo_q_ref,
@@ -184,9 +249,7 @@ def _make_bwd_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt):
         syn_ucs = syn_ref[0].astype(f32)
         consts = (g_c, defc_c, degbo_c, g_q, defc_q, degbo_q,
                   wproj_c, wproj_q, w2, bmh, bh, syn_ucs, MH, H, Dc, Dq, cdt)
-        wo_c, wo_q = w2[0:MH], w2[MH:2*MH]
-        uc_a, uq_a = w2[2*MH:2*MH+H], w2[2*MH+H:2*MH+2*H]
-        uc_w1, uq_w1 = w2[2*MH+2*H:2*MH+3*H], w2[2*MH+3*H:2*MH+4*H]
+        wo_c, wo_q, uc_a, uq_a, uc_w1, uq_w1 = _unpack_w2(w2, MH, H, fold)
         lnc_s, lnq_s = bh[4:5], bh[6:7]
 
         # grad accumulators (weight grads also accumulate ACROSS grid steps
@@ -202,9 +265,13 @@ def _make_bwd_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt):
         dsyn = jnp.zeros((M, TB, H), f32)
         dwproj_c = jnp.zeros(dwproj_c_ref.shape, f32)
         dwproj_q = jnp.zeros(dwproj_q_ref.shape, f32)
-        dw2 = [jnp.zeros((MH, H), f32), jnp.zeros((MH, H), f32)] + [
-            jnp.zeros((H, H), f32) for _ in range(4)
-        ]
+        dwo_c = jnp.zeros((MH, H), f32)
+        dwo_q = jnp.zeros((MH, H), f32)
+        duc_w1 = jnp.zeros((H, H), f32)
+        duq_w1 = jnp.zeros((H, H), f32)
+        if not fold:
+            duc_a = jnp.zeros((H, H), f32)
+            duq_a = jnp.zeros((H, H), f32)
         dbmh = jnp.zeros((2, MH), f32)
         dbh = [jnp.zeros((1, H), f32) for _ in range(8)]
         ddegbo_c = jnp.zeros((M, 1, H), f32)
@@ -213,7 +280,8 @@ def _make_bwd_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt):
         for r in range(R - 1, -1, -1):  # static reverse unroll
             xc = stash_c_ref[0, r]      # cdt round-input states
             xq = stash_q_ref[0, r]
-            _, res = _round_fwd(xc, xq, consts, want_residuals=True)
+            _, res = _round_fwd(xc, xq, consts, want_residuals=True,
+                                ablate=ablate)
             (ydb_c, ys_c, ydb_q, ys_q, hs_c, agg_c, t_c, hc, nh_c, inv_c,
              hs_q, agg_q, t_q, hq, nh_q, inv_q) = res
 
@@ -229,19 +297,26 @@ def _make_bwd_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt):
             dpre_c = ln_bwd(d_xc, nh_c, inv_c, lnc_s)
             dxc_acc = dpre_c                          # residual into xc_r
             dpre_c_cdt = dpre_c.astype(cdt)
-            dw2[4] += _wgrad(hc, dpre_c_cdt)          # uc_w1
+            duc_w1 += _wgrad(hc, dpre_c_cdt)
             dbh[1] += _rsum(dpre_c)                   # uc_b1
             dhc = _dot2T(dpre_c_cdt, uc_w1)
             dt_c = dhc * (t_c > 0)
             dt_c_cdt = dt_c.astype(cdt)
             dsyn += dt_c
             dbh[0] += _rsum(dt_c)                     # uc_b0
-            dw2[2] += _wgrad(agg_c, dt_c_cdt)         # uc_a
-            dagg_c = _dot2T(dt_c_cdt, uc_a)
-            ddegbo_c += jnp.sum(dagg_c, axis=1, keepdims=True)
-            dagg_c_cdt = dagg_c.astype(cdt)
-            dw2[0] += _wgrad(hs_c, dagg_c_cdt)        # wo_c
-            dhs_c = _dot2T(dagg_c_cdt, wo_c)
+            if fold:
+                # aggregation feeds pre_c directly: dt_c IS the folded-agg
+                # cotangent (no ua chain; ddegbo accumulates the folded bias)
+                ddegbo_c += jnp.sum(dt_c, axis=1, keepdims=True)
+                dwo_c += _wgrad(hs_c, dt_c_cdt)
+                dhs_c = _dot2T(dt_c_cdt, wo_c)
+            else:
+                duc_a += _wgrad(agg_c, dt_c_cdt)
+                dagg_c = _dot2T(dt_c_cdt, uc_a)
+                ddegbo_c += jnp.sum(dagg_c, axis=1, keepdims=True)
+                dagg_c_cdt = dagg_c.astype(cdt)
+                dwo_c += _wgrad(hs_c, dagg_c_cdt)
+                dhs_c = _dot2T(dagg_c_cdt, wo_c)
 
             # --- (qubit side) ---------------------------------------------
             dbh[6] += _rsum(d_xq * nh_q)              # lnq_scale
@@ -249,32 +324,55 @@ def _make_bwd_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt):
             dpre_q = ln_bwd(d_xq, nh_q, inv_q, lnq_s)
             dxq_acc = dpre_q
             dpre_q_cdt = dpre_q.astype(cdt)
-            dw2[5] += _wgrad(hq, dpre_q_cdt)          # uq_w1
+            duq_w1 += _wgrad(hq, dpre_q_cdt)
             dbh[3] += _rsum(dpre_q)                   # uq_b1
             dhq = _dot2T(dpre_q_cdt, uq_w1)
             dt_q = dhq * (t_q > 0)
             dt_q_cdt = dt_q.astype(cdt)
             dbh[2] += _rsum(dt_q)                     # uq_b0
-            dw2[3] += _wgrad(agg_q, dt_q_cdt)         # uq_a
-            dagg_q = _dot2T(dt_q_cdt, uq_a)
-            ddegbo_q += jnp.sum(dagg_q, axis=1, keepdims=True)
-            dagg_q_cdt = dagg_q.astype(cdt)
-            dw2[1] += _wgrad(hs_q, dagg_q_cdt)        # wo_q
-            dhs_q = _dot2T(dagg_q_cdt, wo_q)
+            if fold:
+                ddegbo_q += jnp.sum(dt_q, axis=1, keepdims=True)
+                dwo_q += _wgrad(hs_q, dt_q_cdt)
+                dhs_q = _dot2T(dt_q_cdt, wo_q)
+            else:
+                duq_a += _wgrad(agg_q, dt_q_cdt)
+                dagg_q = _dot2T(dt_q_cdt, uq_a)
+                ddegbo_q += jnp.sum(dagg_q, axis=1, keepdims=True)
+                dagg_q_cdt = dagg_q.astype(cdt)
+                dwo_q += _wgrad(hs_q, dagg_q_cdt)
+                dhs_q = _dot2T(dagg_q_cdt, wo_q)
 
-            # --- slot-gather adjoint (recompute zk; scatter = gather^T) ----
-            def slot_bwd(g, gT, ys, ydb, defc, dhs, d, src_rows):
-                dydb = -defc * (ydb > 0).astype(f32) * dhs
-                dys = jnp.zeros((src_rows, TB, MH), f32)
-                for k in range(d):
-                    zk = _gdot(g[k], ys)
-                    dz = dhs * ((zk + ydb) > 0)
-                    dydb = dydb + dz
-                    dys = dys + _gdot(gT[k], dz.astype(cdt))
-                return dydb, dys
-
-            dydb_c, dys_c = slot_bwd(g_c, gT_c, ys_c, ydb_c, defc_c, dhs_c, Dc, N)
-            dydb_q, dys_q = slot_bwd(g_q, gT_q, ys_q, ydb_q, defc_q, dhs_q, Dq, M)
+            # --- slot-gather adjoint (recompute zk; scatter = gather^T).
+            # The sumrelu rewrite shares the (zk + ydb > 0) subgradient
+            # mask, so the adjoint is schedule-independent; interleave
+            # merges both directions' loops for MXU/VPU overlap. ----------
+            dydb_c = -defc_c * (ydb_c > 0).astype(f32) * dhs_c
+            dydb_q = -defc_q * (ydb_q > 0).astype(f32) * dhs_q
+            dys_c = jnp.zeros((N, TB, MH), f32)
+            dys_q = jnp.zeros((M, TB, MH), f32)
+            if interleave:
+                for k in range(max(Dc, Dq)):
+                    if k < Dc:
+                        zk = _gdot(g_c[k], ys_c)
+                        dz = dhs_c * ((zk + ydb_c) > 0)
+                        dydb_c = dydb_c + dz
+                        dys_c = dys_c + _gdot(gT_c[k], dz.astype(cdt))
+                    if k < Dq:
+                        zk = _gdot(g_q[k], ys_q)
+                        dz = dhs_q * ((zk + ydb_q) > 0)
+                        dydb_q = dydb_q + dz
+                        dys_q = dys_q + _gdot(gT_q[k], dz.astype(cdt))
+            else:
+                for k in range(Dc):
+                    zk = _gdot(g_c[k], ys_c)
+                    dz = dhs_c * ((zk + ydb_c) > 0)
+                    dydb_c = dydb_c + dz
+                    dys_c = dys_c + _gdot(gT_c[k], dz.astype(cdt))
+                for k in range(Dq):
+                    zk = _gdot(g_q[k], ys_q)
+                    dz = dhs_q * ((zk + ydb_q) > 0)
+                    dydb_q = dydb_q + dz
+                    dys_q = dys_q + _gdot(gT_q[k], dz.astype(cdt))
             dbmh += jnp.concatenate([_rsum(dydb_c), _rsum(dydb_q)], axis=0)
 
             # --- wide projection adjoint (lane order mirrors the packs:
@@ -293,7 +391,14 @@ def _make_bwd_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt):
         dsyn_ref[0] = dsyn
         dwproj_c_ref[...] += dwproj_c
         dwproj_q_ref[...] += dwproj_q
-        dw2_ref[...] += jnp.concatenate(dw2, axis=0)
+        if fold:
+            dw2_ref[...] += jnp.concatenate(
+                [dwo_c, dwo_q, duc_w1, duq_w1], axis=0
+            )
+        else:
+            dw2_ref[...] += jnp.concatenate(
+                [dwo_c, dwo_q, duc_a, duq_a, duc_w1, duq_w1], axis=0
+            )
         dbmh_ref[...] += dbmh
         dbh_ref[...] += jnp.concatenate(dbh, axis=0)
         ddegbo_c_ref[...] += ddegbo_c
@@ -305,6 +410,7 @@ def _make_bwd_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt):
 def make_kernel_vjp_rounds(
     graph_operators: tuple, *, rounds: int, compute_dtype: str = "bfloat16",
     interpret: bool | None = None, block_batch: int = 8,
+    ablate: tuple | None = None,
 ):
     """Differentiable tiled round-loop with Pallas forward AND backward.
 
@@ -312,6 +418,11 @@ def make_kernel_vjp_rounds(
     degbo_c, degbo_q) -> (xc_o, xq_o)`` over f32 tiled inputs (cast to the
     compute dtype inside), with a hand-written fused backward.  The graph
     operators (gather one-hots, pad-slot counts) are closed-over constants.
+
+    ``ablate=None`` selects fused_decoder.PROD_VARIANTS (the promoted
+    schedule); callers must pack w2/degbo to match (``fold`` in the set
+    means the packed operands carry the folded wo@ua / (deg*bo)@ua values —
+    kernel_trained_rounds does this in differentiable outer JAX).
 
     ``block_batch`` defaults lower than inference: the backward's working
     set (~3x forward) plus the round-state stash bounds the tile.
@@ -322,6 +433,10 @@ def make_kernel_vjp_rounds(
     n = deg_q.shape[0]
     dc = g_c0.shape[0] // m
     dq = g_q0.shape[0] // n
+    if ablate is None:
+        ablate = fd.PROD_VARIANTS
+    ablate = frozenset(ablate)
+    fold = "fold" in ablate
     # slot-major gather operators + their transposes (scatter = gather^T)
     g_c = g_c0.reshape(m, dc, -1).transpose(1, 0, 2).astype(cdt)
     g_q = g_q0.reshape(n, dq, -1).transpose(1, 0, 2).astype(cdt)
@@ -345,7 +460,7 @@ def make_kernel_vjp_rounds(
         mh = bmh.shape[1]
         defc_c = jnp.broadcast_to(defc_c_row, (m, 1, mh))
         defc_q = jnp.broadcast_to(defc_q_row, (n, 1, mh))
-        kern = _make_fwd_kernel(m, n, dc, dq, h, mh, R, tb, cdt)
+        kern = _make_fwd_kernel(m, n, dc, dq, h, mh, R, tb, cdt, ablate=ablate)
         full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                       memory_space=pltpu.VMEM)
         tile = lambda rows, f: pl.BlockSpec((1, rows, tb, f),
@@ -389,7 +504,7 @@ def make_kernel_vjp_rounds(
         mh = bmh.shape[1]
         defc_c = jnp.broadcast_to(defc_c_row, (m, 1, mh))
         defc_q = jnp.broadcast_to(defc_q_row, (n, 1, mh))
-        kern = _make_bwd_kernel(m, n, dc, dq, h, mh, R, tb, cdt)
+        kern = _make_bwd_kernel(m, n, dc, dq, h, mh, R, tb, cdt, ablate=ablate)
         full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                       memory_space=pltpu.VMEM)
         acc = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
@@ -405,6 +520,7 @@ def make_kernel_vjp_rounds(
         packs = (wproj_c.astype(cdt), wproj_q.astype(cdt), w2.astype(cdt),
                  bmh, bh)
         wsz = 2 * mh + h
+        w2_rows = 2 * mh + (2 if fold else 4) * h
         outs = pl.pallas_call(
             kern,
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=fd._VMEM_LIMIT),
@@ -414,7 +530,7 @@ def make_kernel_vjp_rounds(
                 jax.ShapeDtypeStruct((nblk, m, tb, h), f32),   # dsyn
                 jax.ShapeDtypeStruct((h, wsz), f32),           # dwproj_c
                 jax.ShapeDtypeStruct((h, wsz), f32),           # dwproj_q
-                jax.ShapeDtypeStruct((2 * mh + 4 * h, h), f32),  # dw2
+                jax.ShapeDtypeStruct((w2_rows, h), f32),       # dw2
                 jax.ShapeDtypeStruct((2, mh), f32),            # dbmh
                 jax.ShapeDtypeStruct((8, h), f32),             # dbh
                 jax.ShapeDtypeStruct((m, 1, h), f32),          # ddegbo_c
@@ -428,7 +544,7 @@ def make_kernel_vjp_rounds(
                 out_specs=(
                     tile(m, h), tile(n, h), tile(m, h),
                     acc(jnp.zeros((h, wsz))), acc(jnp.zeros((h, wsz))),
-                    acc(jnp.zeros((2 * mh + 4 * h, h))),
+                    acc(jnp.zeros((w2_rows, h))),
                     acc(jnp.zeros((2, mh))), acc(jnp.zeros((8, h))),
                     acc(jnp.zeros((m, 1, h))), acc(jnp.zeros((n, 1, h))),
                 ),
@@ -447,6 +563,7 @@ def make_kernel_vjp_rounds(
 def kernel_trained_rounds(
     operators: tuple, *, rounds: int, compute_dtype: str = "bfloat16",
     interpret: bool | None = None, block_batch: int = 8,
+    ablate: tuple | None = None,
 ):
     """(xc, xq, syn, weights) -> (xc_out, xq_out), fully kernel-backed VJP.
 
@@ -455,11 +572,16 @@ def kernel_trained_rounds(
     the backward is the hand-written fused kernel rather than rematerialized
     XLA.  Weight packing, the degree x out-bias fold, the syndrome-term
     product, and the batch<->tile transposes stay in plain JAX and
-    differentiate automatically.
+    differentiate automatically — including the wo@ua / (deg*bo)@ua fold
+    products of the promoted 'fold' variant, whose AD un-folds the kernel's
+    folded-operand gradients into dwo/dua/dbo.
     """
+    if ablate is None:
+        ablate = fd.PROD_VARIANTS
+    fold = "fold" in ablate
     core = make_kernel_vjp_rounds(
         operators, rounds=rounds, compute_dtype=compute_dtype,
-        interpret=interpret,
+        interpret=interpret, ablate=tuple(ablate),
     )
     deg_c = operators[2]
     deg_q = operators[5]
@@ -474,16 +596,23 @@ def kernel_trained_rounds(
         # f32 packing (differentiable; core casts to the compute dtype)
         wproj_c = jnp.concatenate([w.wd_c, w.ws_q, w.uc_x], axis=1)
         wproj_q = jnp.concatenate([w.ws_c, w.wd_q, w.uq_x], axis=1)
-        w2 = jnp.concatenate(
-            [w.wo_c, w.wo_q, w.uc_a, w.uq_a, w.uc_w1, w.uq_w1], axis=0
-        )
+        if fold:
+            w2 = jnp.concatenate(
+                [w.wo_c @ w.uc_a, w.wo_q @ w.uq_a, w.uc_w1, w.uq_w1], axis=0
+            )
+            degbo_c = (deg_c.reshape(-1, 1, 1) * w.bo_c[0]) @ w.uc_a
+            degbo_q = (deg_q.reshape(-1, 1, 1) * w.bo_q[0]) @ w.uq_a
+        else:
+            w2 = jnp.concatenate(
+                [w.wo_c, w.wo_q, w.uc_a, w.uq_a, w.uc_w1, w.uq_w1], axis=0
+            )
+            degbo_c = deg_c.reshape(-1, 1, 1) * w.bo_c[0]
+            degbo_q = deg_q.reshape(-1, 1, 1) * w.bo_q[0]
         bmh = jnp.concatenate([w.b0_c, w.b0_q], axis=0)
         bh = jnp.concatenate(
             [w.uc_b0, w.uc_b1, w.uq_b0, w.uq_b1,
              w.lnc_scale, w.lnc_bias, w.lnq_scale, w.lnq_bias], axis=0
         )
-        degbo_c = deg_c.reshape(-1, 1, 1) * w.bo_c[0]
-        degbo_q = deg_q.reshape(-1, 1, 1) * w.bo_q[0]
         syn_ucs = syn * w.uc_s[0]                        # [B, M, H]
 
         # the backward's working set (~3x forward) + the round-state stash
