@@ -131,6 +131,27 @@ def main() -> int:
     if args.all_backends:
         candidates[1:1] = ["fused", "ell"]
 
+    if jax.default_backend() == "tpu":
+        # TPU timings are garbage while the host CPU is busy (relay
+        # starvation, PERF_NOTES.md): pause any queue-advertised background
+        # jobs (training runs etc.) for the measurement, resume after.
+        from tpugnn.utils.hostidle import paused_queue_jobs
+
+        with paused_queue_jobs() as paused:
+            if paused:
+                print(f"paused queue jobs for the bench: {paused}", file=sys.stderr)
+            results = _run_backends(args, candidates, iters)
+    else:
+        results = _run_backends(args, candidates, iters)
+
+    if not results:
+        print(json.dumps({"metric": "edges_per_s_per_chip_d11", "value": 0.0,
+                          "unit": "edges/s", "vs_baseline": 0.0, "error": "all backends failed"}))
+        return 1
+    return _report(args, results)
+
+
+def _run_backends(args, candidates, iters) -> dict:
     results = {}
     for be in candidates:
         try:
@@ -140,11 +161,10 @@ def main() -> int:
             )
         except Exception as e:  # a backend failing must not kill the bench
             print(f"backend {be} failed: {type(e).__name__}: {e}", file=sys.stderr)
+    return results
 
-    if not results:
-        print(json.dumps({"metric": "edges_per_s_per_chip_d11", "value": 0.0,
-                          "unit": "edges/s", "vs_baseline": 0.0, "error": "all backends failed"}))
-        return 1
+
+def _report(args, results) -> int:
 
     best_name = max(results, key=lambda k: results[k]["edges_per_s"])
     best = results[best_name]

@@ -86,8 +86,17 @@ def main() -> int:
         if restored is None:
             print(f"skip {spec}: no checkpoint", file=sys.stderr)
             continue
+        # on TPU, decode through the production Pallas inference engine
+        # (parity-tested twin of the 'fused' flax backend, ~5x faster);
+        # CPU keeps the XLA path (Pallas interpret mode is far slower)
+        if jax.default_backend() == "tpu":
+            from tpugnn.models.pallas_decoder import PallasDecoder
+
+            apply_fn = PallasDecoder(cfg.model, k=graph.k).apply
+        else:
+            apply_fn = model.apply
         for p in args.ps:
-            ev = ler_monte_carlo(model.apply, restored.params, graph, p=p,
+            ev = ler_monte_carlo(apply_fn, restored.params, graph, p=p,
                                  shots=args.shots, batch=4096,
                                  key=jax.random.PRNGKey(777))
             cuf = cache.get((family, d, p, "uf")) if dt == 1 else None
