@@ -117,10 +117,16 @@ def main() -> int:
                    "bp_osd": None if bposd is None else bposd["ler"]}
             rows.append(row)
             print(json.dumps(row), flush=True)
+            _write_md(args.out, args.shots, rows)  # incremental: survives a
+            #                                        mid-table interruption
+    print(f"wrote {args.out}", file=sys.stderr)
+    return 0
 
-    with open(args.out, "w") as f:
+
+def _write_md(path: str, shots: int, rows: list) -> None:
+    with open(path, "w") as f:
         f.write("# Logical error rate: GNN decoder vs classical baselines\n\n")
-        f.write(f"Monte-Carlo, {args.shots} shots per point; stderr ~ binomial.\n\n")
+        f.write(f"Monte-Carlo, {shots} shots per point; stderr ~ binomial.\n\n")
         f.write("| family | d | p | GNN hybrid | GNN logical-head | GNN per-qubit | union-find | BP+OSD-0 |\n")
         f.write("|---|---|---|---|---|---|---|---|\n")
         for r in rows:
@@ -130,8 +136,6 @@ def main() -> int:
                 f"{r['gnn_hybrid']:.4g} | {r['gnn_logical']:.4g} | "
                 f"{r['gnn_per_qubit']:.4g} | {r['uf']:.4g} | {bp} |\n"
             )
-    print(f"wrote {args.out}", file=sys.stderr)
-    return 0
 
 
 if __name__ == "__main__":

@@ -41,8 +41,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", nargs="+",
                     default=["base", "sumrelu", "fold", "interleave",
-                             "sumrelu+fold+interleave", "noslotrelu",
-                             "oneslot", "noln", "noupdate"],
+                             "sumrelu+fold+interleave",
+                             "sumrelu+fold+interleave+ln1pass",
+                             "sumrelu+fold+interleave+biasfold",
+                             "sumrelu+fold+interleave+ln1pass+biasfold",
+                             "noslotrelu", "oneslot", "noln", "noupdate"],
                     help="'+'-joined keys combine ablations in one kernel")
     ap.add_argument("--d", type=int, default=11)
     ap.add_argument("--batch", type=int, default=4096)

@@ -86,13 +86,17 @@ def test_sumrelu_variant_matches_base():
 
     kw = dict(rounds=r, interpret=True, compute_dtype="float32", block_batch=4)
     base = decoder_rounds(xc, xq, syn, ops, weights, **kw)
-    for ablate in (("sumrelu",), ("fold",), ("interleave",),
-                   ("sumrelu", "fold", "interleave")):
+    for ablate in (("sumrelu",), ("fold",), ("interleave",), ("ln1pass",),
+                   ("fold", "biasfold"),
+                   ("sumrelu", "fold", "interleave"),
+                   ("sumrelu", "fold", "interleave", "ln1pass", "biasfold")):
         alt = decoder_rounds(xc, xq, syn, ops, weights, ablate=ablate, **kw)
         for a, bso in zip(alt, base):
             np.testing.assert_allclose(np.asarray(a), np.asarray(bso),
                                        atol=1e-5, rtol=1e-5,
                                        err_msg=str(ablate))
+    with pytest.raises(ValueError, match="biasfold requires fold"):
+        decoder_rounds(xc, xq, syn, ops, weights, ablate=("biasfold",), **kw)
 
 
 def test_prod_variants_match_original_schedule():

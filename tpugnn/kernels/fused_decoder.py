@@ -134,6 +134,18 @@ def _ln(x, scale, bias):
     return (x - mu) * jax.lax.rsqrt(var + 1e-6) * scale + bias
 
 
+def _ln1pass(x, scale, bias):
+    # One-pass statistics: var = E[x^2] - mu^2 (exact up to f32
+    # reassociation; safe here because post-residual activations are O(1)).
+    # Saves the second full read of x that the two-pass form's centered
+    # square costs.
+    x = x.astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    m2 = jnp.mean(x * x, axis=-1, keepdims=True)
+    r = jax.lax.rsqrt(m2 - mu * mu + 1e-6)
+    return (x - mu) * r * scale + bias
+
+
 def _make_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt, ablate=frozenset()):
     """Batch-tiled kernel; activations laid out [rows, TB, F] so every GEMM
     contracts over a full [rows*TB, F] or [rows, TB*F] panel (MXU-friendly).
@@ -141,10 +153,11 @@ def _make_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt, ablate=frozenset()):
     ``cdt`` is the compute dtype (bf16 by default, f32 accumulation via
     preferred_element_type); LayerNorm statistics run in f32.
 
-    ``ablate`` selects *measurement-only* kernel variants for the perf
-    attribution probe (benchmarks/probe_kernel_attrib.py); every key except
-    the exact-math ``sumrelu`` CHANGES THE COMPUTED FUNCTION and must never
-    reach production paths:
+    ``ablate`` selects kernel variants for the perf attribution probe
+    (benchmarks/probe_kernel_attrib.py).  Keys marked EXACT below compute
+    the base function (up to f32 reassociation) and are promotion
+    candidates (PROD_VARIANTS); every other key CHANGES THE COMPUTED
+    FUNCTION and must never reach production paths:
       noslotrelu — drop the per-slot relu/add VPU passes (slot GEMMs kept)
       oneslot    — run a single gather slot per direction (D -> 1)
       noln       — LayerNorm without statistics (affine only)
@@ -161,6 +174,13 @@ def _make_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt, ablate=frozenset()):
       interleave — EXACT: both directions' slot loops merged into one loop
                    so independent MXU (gather GEMM) and VPU (relu/acc) work
                    is adjacent in program order for the scheduler
+      ln1pass    — EXACT (up to reassociation): LayerNorm statistics via
+                   var = E[x^2] - mu^2 in one pass over x instead of the
+                   centered two-pass form
+      biasfold   — EXACT; requires 'fold': the update-MLP input biases
+                   (uc_b0/uq_b0) are round-invariant, so prep_operators
+                   folds them into the degbo_* aggregation constants — two
+                   broadcast adds fewer per round
     """
 
     def dot2(a, b):
@@ -306,7 +326,12 @@ def _make_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt, ablate=frozenset()):
                 agg_q = (dot2(hs_q, wo_q) + degbo_q).astype(cdt)
 
             # --- updates (residual MLP + LayerNorm, f32 VPU math) ---------
-            ln = (lambda x, s, b: x * s + b) if "noln" in ablate else _ln
+            if "noln" in ablate:
+                ln = lambda x, s, b: x * s + b
+            elif "ln1pass" in ablate:
+                ln = _ln1pass
+            else:
+                ln = _ln
             if "noupdate" in ablate:
                 xc_new = ln(
                     xc.astype(jnp.float32) + agg_c.astype(jnp.float32),
@@ -317,7 +342,12 @@ def _make_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt, ablate=frozenset()):
                     lnq_s, lnq_b,
                 ).astype(cdt)
                 return xc_new, xq_new
-            if "fold" in ablate:
+            if "biasfold" in ablate:
+                # degbo_* already carries uc_b0/uq_b0 (prep_operators
+                # biasfold=True), so the broadcast bias adds vanish
+                pre_c = xc_ux + agg_c + syn_ucs
+                pre_q = xq_ux + agg_q
+            elif "fold" in ablate:
                 # agg_* already carries the @ua projection (folded weights)
                 pre_c = xc_ux + agg_c + syn_ucs + uc_b0
                 pre_q = xq_ux + agg_q + uq_b0
@@ -406,7 +436,7 @@ def decoder_rounds(
 
 
 def prep_operators(operators: tuple, weights: RoundWeights, mh: int, cdt,
-                   fold: bool = False):
+                   fold: bool = False, biasfold: bool = False):
     """Kernel-layout constants from make_operators output.
 
     Operators are reordered slot-major ([D, rows, src]: row index in
@@ -435,6 +465,13 @@ def prep_operators(operators: tuple, weights: RoundWeights, mh: int, cdt,
         # aggregation bias must carry it: (deg * bo) @ ua, f32 outside
         degbo_c = degbo_c @ weights.uc_a.astype(f32)
         degbo_q = degbo_q @ weights.uq_a.astype(f32)
+    if biasfold:
+        if not fold:
+            raise ValueError("biasfold requires fold")
+        # the update-MLP input biases are round-invariant: carry them in
+        # the aggregation constants so the kernel drops two broadcast adds
+        degbo_c = degbo_c + weights.uc_b0.astype(f32)
+        degbo_q = degbo_q + weights.uq_b0.astype(f32)
     return g_c, defc_c, degbo_c, g_q, defc_q, degbo_q
 
 
@@ -508,7 +545,8 @@ def decoder_rounds_tiled(
     if ablate is None:
         ablate = PROD_VARIANTS
     fold = "fold" in ablate
-    ops = prep_operators(operators, weights, mh, cdt, fold=fold)
+    ops = prep_operators(operators, weights, mh, cdt, fold=fold,
+                         biasfold="biasfold" in ablate)
     packs = pack_weights(weights, cdt, fold=fold)
 
     kernel = _make_kernel(m, n, dc, dq, h, mh, rounds, tb, cdt,
