@@ -33,6 +33,9 @@ def main() -> int:
     ap.add_argument("--remat", action="store_true",
                     help="per-round activation rematerialization (needed for "
                          "d >= 9 at batch 4096 on a 16G chip)")
+    ap.add_argument("--ema", type=float, default=None, metavar="DECAY",
+                    help="maintain an EMA of the params (e.g. 0.999); "
+                         "reported as ler_ema, saved under <out>/ema")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -59,6 +62,7 @@ def main() -> int:
                 warmup_steps=200, eval_every=1000, eval_shots=8192,
                 checkpoint_dir=os.path.abspath(out),
                 metrics_jsonl=os.path.join(out, "metrics.jsonl"),
+                ema_decay=args.ema,
             ),
         )
         t0 = time.time()
@@ -68,7 +72,9 @@ def main() -> int:
         last = history[-1] if history else {}
         print(json.dumps({
             "d": d, "steps": args.steps, "wall_s": round(el, 1),
-            "final": {k: last.get(k) for k in ("loss", "ler", "ler_logical", "ler_hybrid")},
+            "final": {k: last.get(k) for k in ("loss", "ler", "ler_logical",
+                                               "ler_hybrid", "ler_ema",
+                                               "ler_hybrid_ema")},
         }), flush=True)
     return 0
 

@@ -30,6 +30,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--backend", default="segment", choices=["segment", "dense", "ell", "fused", "pallas"])
     p.add_argument("--aggr", default="sum", choices=["sum", "mean", "max"])
     p.add_argument("--per-round-weights", action="store_true")
+    p.add_argument("--readout", default="both", choices=["per_qubit", "logical", "both"])
+    p.add_argument("--qubit-head", default="bits", choices=["bits", "pauli4"])
+    p.add_argument("--remat", action="store_true",
+                   help="per-round activation rematerialization (large-d training)")
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--steps", type=int, default=2000)
@@ -66,6 +70,9 @@ def build_config(args: argparse.Namespace) -> ExperimentConfig:
             backend=args.backend,
             aggr=args.aggr,
             weight_tied=not args.per_round_weights,
+            readout=args.readout,
+            qubit_head=args.qubit_head,
+            remat=args.remat,
             dtype=args.dtype,
         ),
         train=TrainConfig(
@@ -92,7 +99,7 @@ def _force_cpu() -> None:
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="tpugnn", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for name in ("train", "eval", "sweep"):
+    for name in ("train", "eval", "sweep", "serve"):
         sp = sub.add_parser(name)
         _add_common(sp)
         if name == "eval":
@@ -102,6 +109,15 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--ps", type=float, nargs="+", default=[0.01, 0.03, 0.05, 0.08])
             sp.add_argument("--baseline", action="store_true",
                             help="also report union-find decoder LER per p")
+        if name == "serve":
+            sp.add_argument("--in", dest="infile", default=None,
+                            help=".npy uint8 [B, m] syndromes (default: "
+                                 "sample a demo batch at -p)")
+            sp.add_argument("--out", dest="outfile", default=None,
+                            help=".npy uint8 [B, n, 2] corrections "
+                                 "(default: <in>.corrections.npy or stdout "
+                                 "summary only)")
+            sp.add_argument("--max-batch", type=int, default=4096)
     args = ap.parse_args(argv)
     if args.cpu:
         _force_cpu()
@@ -131,6 +147,49 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "train":
         _, _, _, history = train_fn(cfg, graph=_graph())
         print(json.dumps(history[-1] if history else {}))
+        return 0
+
+    if args.cmd == "serve":
+        import time
+
+        import numpy as np
+
+        from tpugnn.serve import DecodeEngine
+
+        graph = _graph()
+        if cfg.train.checkpoint_dir:
+            from tpugnn.train.checkpoint import CheckpointManager
+
+            state, _ = init_state(cfg, graph)
+            restored = CheckpointManager(cfg.train.checkpoint_dir).restore_latest(state)
+            if restored is None:
+                print("no checkpoint found; serving fresh params", file=sys.stderr)
+            else:
+                state = restored
+        else:
+            state, _ = init_state(cfg, graph)
+        eng = DecodeEngine(cfg, state.params, graph, max_batch=args.max_batch)
+        if args.infile:
+            syn = np.load(args.infile)
+        else:
+            from tpugnn.sampling import sample_batch
+
+            b = sample_batch(jax.random.PRNGKey(cfg.train.seed), graph,
+                             cfg.code.p, args.max_batch)
+            syn = np.asarray(b.syndrome[:, : graph.n_checks], np.uint8)
+        t0 = time.perf_counter()
+        corr = eng.decode(syn)
+        dt_s = time.perf_counter() - t0
+        out = args.outfile or (f"{args.infile}.corrections.npy" if args.infile else None)
+        if out:
+            np.save(out, corr)
+        print(json.dumps({
+            "shots": int(syn.shape[0]),
+            "decode_s": round(dt_s, 4),
+            "shots_per_s": round(syn.shape[0] / dt_s, 1),
+            "mean_correction_weight": float(corr.sum(axis=(1, 2)).mean()),
+            **({"out": out} if out else {}),
+        }))
         return 0
 
     if args.cmd in ("eval", "sweep"):

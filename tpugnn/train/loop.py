@@ -189,6 +189,29 @@ def train(cfg: ExperimentConfig, *, graph: TannerGraph | None = None, log=print)
             state = restored
             log(f"restored checkpoint at step {int(state.step)}")
 
+    # optional EMA of params (eval/serving); lives OUTSIDE TrainState so
+    # existing checkpoints stay restorable, persisted under <ckpt>/ema
+    ema_params = None
+    ema_mgr = None
+    ema_step = None
+    if cfg.train.ema_decay:
+        import os as _os
+
+        decay = float(cfg.train.ema_decay)
+        # deep copy: the train step donates state, so aliasing state.params
+        # here would leave ema_params pointing at deleted buffers
+        ema_params = jax.tree_util.tree_map(jnp.copy, state.params)
+        if cfg.train.checkpoint_dir:
+            from tpugnn.train.checkpoint import CheckpointManager
+
+            ema_mgr = CheckpointManager(
+                _os.path.join(cfg.train.checkpoint_dir, "ema"))
+            r = ema_mgr.restore_latest(state)
+            if r is not None:
+                ema_params = r.params
+        ema_step = jax.jit(lambda e, p: jax.tree_util.tree_map(
+            lambda x, y: decay * x + (1.0 - decay) * y, e, p))
+
     from tpugnn.utils.metrics import MetricLogger
 
     jl = (
@@ -201,6 +224,8 @@ def train(cfg: ExperimentConfig, *, graph: TannerGraph | None = None, log=print)
         if cfg.train.profile_dir and i == 10:
             jax.profiler.start_trace(cfg.train.profile_dir)
         state, metrics = step_fn(state, graph)
+        if ema_step is not None:
+            ema_params = ema_step(ema_params, state.params)
         if cfg.train.profile_dir and i == 14:
             from tpugnn.utils.timing import hard_sync
 
@@ -221,6 +246,16 @@ def train(cfg: ExperimentConfig, *, graph: TannerGraph | None = None, log=print)
             for extra in ("ler_logical", "ler_hybrid"):
                 if extra in ev:
                     m[extra] = ev[extra]
+            if ema_params is not None:
+                ev_ema = ler_monte_carlo(
+                    model.apply, ema_params, graph,
+                    p=cfg.code.p, shots=cfg.train.eval_shots,
+                    batch=min(cfg.train.eval_shots, 1024),
+                    key=jax.random.PRNGKey(1000 + i),
+                )
+                m["ler_ema"] = ev_ema["ler"]
+                if "ler_hybrid" in ev_ema:
+                    m["ler_hybrid_ema"] = ev_ema["ler_hybrid"]
             history.append(m)
             if jl is not None:
                 jl.log(m)
@@ -230,7 +265,12 @@ def train(cfg: ExperimentConfig, *, graph: TannerGraph | None = None, log=print)
             )
         if ckpt_mgr is not None and (i + 1) % cfg.train.checkpoint_every == 0:
             ckpt_mgr.save(state)
+            if ema_mgr is not None:
+                ema_mgr.save(state._replace(params=ema_params))
     if ckpt_mgr is not None:
         ckpt_mgr.save(state)
         ckpt_mgr.wait()
+        if ema_mgr is not None:
+            ema_mgr.save(state._replace(params=ema_params))
+            ema_mgr.wait()
     return state, model, graph, history

@@ -46,6 +46,7 @@ _ALLOWED = (
     "probe_kernel_attrib.py",
     "probe_train_step.py",
     "probe_tb.py",
+    "serve_latency.py",
 )
 
 
