@@ -47,6 +47,7 @@ _ALLOWED = (
     "probe_train_step.py",
     "probe_tb.py",
     "serve_latency.py",
+    "stream_quality.py",
 )
 
 
