@@ -88,17 +88,33 @@ def main() -> int:
             continue
         # on TPU, decode through the production Pallas inference engine
         # (parity-tested twin of the 'fused' flax backend, ~5x faster);
-        # CPU keeps the XLA path (Pallas interpret mode is far slower)
-        if jax.default_backend() == "tpu":
+        # CPU keeps the XLA path (Pallas interpret mode is far slower).
+        # Mosaic can't lower the kernel's [rows, TB, MH] -> [rows, TB*MH]
+        # shape cast unless MH is a lane multiple, so narrow models
+        # (hidden 64/96 checkpoints) stay on XLA.
+        if (jax.default_backend() == "tpu"
+                and cfg.model.hidden % 128 == 0
+                and cfg.model.msg_hidden % 128 == 0):
             from tpugnn.models.pallas_decoder import PallasDecoder
 
             apply_fn = PallasDecoder(cfg.model, k=graph.k).apply
         else:
             apply_fn = model.apply
         for p in args.ps:
-            ev = ler_monte_carlo(apply_fn, restored.params, graph, p=p,
-                                 shots=args.shots, batch=4096,
-                                 key=jax.random.PRNGKey(777))
+            try:
+                ev = ler_monte_carlo(apply_fn, restored.params, graph, p=p,
+                                     shots=args.shots, batch=4096,
+                                     key=jax.random.PRNGKey(777))
+            except Exception as e:
+                if apply_fn is model.apply:
+                    raise
+                print(f"pallas decode failed for {spec} "
+                      f"({type(e).__name__}); falling back to XLA",
+                      file=sys.stderr)
+                apply_fn = model.apply
+                ev = ler_monte_carlo(apply_fn, restored.params, graph, p=p,
+                                     shots=args.shots, batch=4096,
+                                     key=jax.random.PRNGKey(777))
             cuf = cache.get((family, d, p, "uf")) if dt == 1 else None
             cbp = cache.get((family, d, p, "bp_osd")) if dt == 1 else None
             uf = cuf if cuf is not None else ler_union_find(

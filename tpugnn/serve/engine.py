@@ -53,9 +53,12 @@ class DecodeEngine:
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         mcfg = cfg.model
-        # the Pallas fast path consumes the 'fused'-backend parameter layout
+        # the Pallas fast path consumes the 'fused'-backend parameter layout;
+        # Mosaic needs the message width to be a lane multiple (128) for the
+        # kernel's [rows, TB, MH] -> [rows, TB*MH] shape casts
         if use_pallas and mcfg.weight_tied and mcfg.aggr == "sum" and \
-                mcfg.backend == "fused":
+                mcfg.backend == "fused" and mcfg.hidden % 128 == 0 and \
+                mcfg.msg_hidden % 128 == 0:
             from tpugnn.models.pallas_decoder import PallasDecoder
 
             apply_fn = PallasDecoder(mcfg, k=self.graph.k).apply
