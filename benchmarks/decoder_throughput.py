@@ -1,0 +1,131 @@
+"""Decoder throughput: classical baselines (CPU) vs the GNN (TPU).
+
+The LER tables establish the GNN's quality advantage over union-find and
+BP+OSD; this harness establishes the speed side on the SAME decode task
+(surface d=11, batched syndromes -> corrections):
+
+* union-find: the native C++ batch decoder (tpugnn/baselines, csrc/) on the
+  host CPU — the production-grade classical comparator;
+* BP (min-sum, fixed iterations): fully on-device JAX;
+* GNN: the fused Pallas kernel number is read from the most recent
+  bench.py output (or measured directly with --measure-gnn on TPU).
+
+    python benchmarks/decoder_throughput.py [--d 11] [--shots 65536]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--d", type=int, default=11)
+    ap.add_argument("--family", default="surface")
+    ap.add_argument("--p", type=float, default=0.03)
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--shots", type=int, default=65536)
+    ap.add_argument("--bp-iters", type=int, default=32)
+    ap.add_argument("--skip-bp", action="store_true")
+    ap.add_argument("--measure-gnn", action="store_true",
+                    help="time the Pallas decode here instead of reading "
+                         "the last bench.py output")
+    ap.add_argument("--gnn-json", default=None,
+                    help="bench.py output to quote the GNN number from")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    import numpy as np
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from tpugnn.baselines.union_find import UnionFindDecoder
+    from tpugnn.tanner import build_code
+
+    graph = build_code(args.family, args.d)
+    rows = []
+
+    # ---- union-find (native C++, host CPU) --------------------------------
+    uf = UnionFindDecoder(graph)
+    rng = np.random.default_rng(0)
+    syn = (rng.random((args.batch, graph.n_checks_pad)) < 2 * args.p
+           ).astype(np.uint8)
+    uf.decode(syn)  # warm
+    n_batches = max(1, args.shots // args.batch)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_batches):
+            uf.decode(syn)
+        ts.append((time.perf_counter() - t0) / n_batches)
+    t = statistics.median(ts)
+    rows.append({"decoder": "union_find_cpp_cpu",
+                 "shots_per_s": round(args.batch / t, 1),
+                 "batch": args.batch})
+
+    # ---- min-sum BP (on-device) -------------------------------------------
+    if not args.skip_bp:
+        import jax.numpy as jnp
+
+        from tpugnn.baselines.bp import bp_decode
+
+        pri = float(2 * args.p / 3)
+        sj = jnp.asarray(syn, jnp.float32)
+
+        dec = jax.jit(lambda s: bp_decode(graph, s, p=pri,
+                                          iters=args.bp_iters))
+        from tpugnn.utils.timing import hard_sync
+
+        hard_sync(dec(sj))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(10):
+                out = dec(sj)
+            hard_sync(out)
+            ts.append((time.perf_counter() - t0) / 10)
+        t = statistics.median(ts)
+        rows.append({"decoder": f"bp_minsum_{args.bp_iters}it_{jax.default_backend()}",
+                     "shots_per_s": round(args.batch / t, 1),
+                     "batch": args.batch})
+
+    # ---- GNN (fused Pallas kernel) -----------------------------------------
+    if args.measure_gnn:
+        from bench import bench_backend
+
+        r = bench_backend("pallas", d=args.d, batch=args.batch, rounds=8,
+                          hidden=128, iters=3)
+        rows.append({"decoder": "gnn_pallas_tpu",
+                     "shots_per_s": round(args.batch / r["step_time_s"], 1),
+                     "batch": args.batch})
+    else:
+        path = args.gnn_json or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "runs", "bench_prod_variants.json")
+        try:
+            with open(path) as f:
+                b = json.loads(f.read().strip().splitlines()[-1])
+            rows.append({"decoder": f"gnn_pallas_{b.get('platform', '?')}",
+                         "shots_per_s": round(
+                             b["batch"] / (b["step_time_ms"] / 1e3), 1),
+                         "batch": b["batch"], "source": path})
+        except Exception as e:
+            print(f"no GNN bench output to quote ({e})", file=sys.stderr)
+
+    for r in rows:
+        print(json.dumps(r), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
