@@ -134,3 +134,40 @@ def test_prod_variants_match_original_schedule():
     for a, bso in zip(prod, base):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bso),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_narrow_msg_width_pads_exactly():
+    """mh not lane-aligned (24): auto-padded kernel matches the XLA twin."""
+    import jax.numpy as jnp
+
+    from tpugnn.kernels.fused_decoder import (
+        RoundWeights, decoder_rounds, make_operators, rounds_xla,
+    )
+
+    g = build_code("surface", 3)
+    h, mh, b, r = 16, 24, 4, 3
+    keys = iter(jax.random.split(jax.random.PRNGKey(21), 32))
+
+    def w(*shape):
+        return 0.3 * jax.random.normal(next(keys), shape, dtype=jnp.float32)
+
+    weights = RoundWeights(
+        wd_c=w(h, mh), ws_c=w(h, mh), b0_c=w(1, mh), wo_c=w(mh, h), bo_c=w(1, h),
+        wd_q=w(h, mh), ws_q=w(h, mh), b0_q=w(1, mh), wo_q=w(mh, h), bo_q=w(1, h),
+        uc_x=w(h, h), uc_a=w(h, h), uc_s=w(1, h), uc_b0=w(1, h),
+        uc_w1=w(h, h), uc_b1=w(1, h),
+        uq_x=w(h, h), uq_a=w(h, h), uq_b0=w(1, h), uq_w1=w(h, h), uq_b1=w(1, h),
+        lnc_scale=1.0 + w(1, h), lnc_bias=w(1, h),
+        lnq_scale=1.0 + w(1, h), lnq_bias=w(1, h),
+    )
+    ops = make_operators(g)
+    xc = w(b, g.n_checks_pad, h)
+    xq = w(b, g.n_qubits_pad, h)
+    syn = (jax.random.uniform(next(keys), (b, g.n_checks_pad, 1)) < 0.2
+           ).astype(jnp.float32)
+    got = decoder_rounds(xc, xq, syn, ops, weights, rounds=r, interpret=True,
+                         compute_dtype="float32", block_batch=4)
+    ref = rounds_xla(xc, xq, syn, ops, weights, rounds=r)
+    for a, bso in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bso),
+                                   atol=1e-5, rtol=1e-5)

@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "RoundWeights", "decoder_rounds", "decoder_rounds_tiled", "make_operators",
     "rounds_xla", "make_differentiable_rounds", "pick_block_batch",
-    "prep_operators", "pack_weights",
+    "prep_operators", "pack_weights", "pad_msg_width",
 ]
 
 # VMEM auto-sizing knobs (see decoder_rounds); module-level so perf probes
@@ -108,6 +108,30 @@ class RoundWeights(NamedTuple):
     lnc_bias: jnp.ndarray
     lnq_scale: jnp.ndarray
     lnq_bias: jnp.ndarray
+
+
+def pad_msg_width(w: RoundWeights, mh_pad: int) -> RoundWeights:
+    """Pad the message width mh -> mh_pad with zeros (bit-exact).
+
+    Mosaic only lowers the kernel's [src, TB, MH] <-> [src, TB*MH] shape
+    casts when the merged lane dim is 128-aligned, so narrow models pad MH
+    up to the lane width.  Exact: padded wd/ws columns and b0 lanes are
+    zero, so every padded slot-lane carries relu(0 + 0) = 0 (sumrelu:
+    max(0, -0) + 0 = 0) through the reduction, and the padded wo rows
+    multiply those zero lanes by zero; since the pad occupies new lanes, no
+    existing f32 sum is reassociated — outputs are bit-identical.
+    """
+    mh = w.wd_c.shape[1]
+    if mh_pad == mh:
+        return w
+    padc = lambda a: jnp.pad(a, ((0, 0), (0, mh_pad - mh)))  # pad columns
+    padr = lambda a: jnp.pad(a, ((0, mh_pad - mh), (0, 0)))  # pad rows
+    return w._replace(
+        wd_c=padc(w.wd_c), ws_c=padc(w.ws_c), b0_c=padc(w.b0_c),
+        wo_c=padr(w.wo_c),
+        wd_q=padc(w.wd_q), ws_q=padc(w.ws_q), b0_q=padc(w.b0_q),
+        wo_q=padr(w.wo_q),
+    )
 
 
 def make_operators(graph):
@@ -405,7 +429,7 @@ def decoder_rounds(
     b, m, h = xc0.shape
     n = xq0.shape[1]
     g_c = operators[0]
-    mh = weights.wd_c.shape[1]
+    mh = -(-weights.wd_c.shape[1] // 128) * 128  # padded width (VMEM sizing)
     cdt = jnp.dtype(compute_dtype)
     slots = max(operators[0].shape[0], operators[3].shape[0])
     tb = pick_block_batch(slots, mh, cdt.itemsize, b, block_batch)
@@ -540,6 +564,11 @@ def decoder_rounds_tiled(
     dc = g_c.shape[0] // m
     dq = g_q.shape[0] // n
     mh = weights.wd_c.shape[1]
+    if mh % 128:
+        # narrow models: pad the message width to the lane dim so the
+        # kernel's lane-merging shape casts lower (see pad_msg_width)
+        weights = pad_msg_width(weights, -(-mh // 128) * 128)
+        mh = weights.wd_c.shape[1]
     cdt = jnp.dtype(compute_dtype)
 
     if ablate is None:
