@@ -98,7 +98,10 @@ def ler_monte_carlo(
     Returns scalar metrics including the binomial standard error.
     """
 
-    @partial(jax.jit, static_argnames=("p_", "batch_"))
+    # p is a TRACED scalar (jnp.float32), not a static arg: an LER sweep
+    # over noise rates then compiles ONE program per (graph, batch) — on
+    # the tunneled TPU each avoided compile saves minutes
+    @partial(jax.jit, static_argnames=("batch_",))
     def chunk(params, key, p_, batch_):
         b = sample_batch(key, graph, p_, batch_)
         out = apply_fn(params, graph, b.syndrome)
