@@ -65,3 +65,32 @@ def test_from_checkpoint_missing(tmp_path):
     )
     with pytest.raises(FileNotFoundError):
         DecodeEngine.from_checkpoint(str(tmp_path / "nope"), cfg)
+
+
+def test_data_parallel_matches_single_device():
+    cfg = ExperimentConfig(
+        code=CodeConfig(family="surface", distance=3),
+        model=ModelConfig(hidden=16, msg_hidden=16, rounds=2, backend="fused"),
+    )
+    graph = build_code("surface", 3)
+    state, _ = init_state(cfg, graph)
+    single = DecodeEngine(cfg, state.params, graph, max_batch=32)
+    dp = DecodeEngine(cfg, state.params, graph, max_batch=32,
+                      data_parallel=min(4, len(jax.devices())))
+    b = sample_batch(jax.random.PRNGKey(7), graph, 0.08, 32)
+    s = np.asarray(b.syndrome)
+    np.testing.assert_array_equal(single.decode(s), dp.decode(s))
+
+
+def test_data_parallel_validates():
+    cfg = ExperimentConfig(
+        code=CodeConfig(family="surface", distance=3),
+        model=ModelConfig(hidden=16, msg_hidden=16, rounds=2, backend="fused"),
+    )
+    graph = build_code("surface", 3)
+    state, _ = init_state(cfg, graph)
+    with pytest.raises(ValueError, match="divide"):
+        DecodeEngine(cfg, state.params, graph, max_batch=10, data_parallel=4)
+    with pytest.raises(ValueError, match="devices"):
+        DecodeEngine(cfg, state.params, graph, max_batch=32,
+                     data_parallel=4096)

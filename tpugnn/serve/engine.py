@@ -42,6 +42,7 @@ class DecodeEngine:
         *,
         max_batch: int = 4096,
         use_pallas: Optional[bool] = None,
+        data_parallel: Optional[int] = None,
     ):
         self.cfg = cfg
         self.graph = graph if graph is not None else build_code(
@@ -66,13 +67,35 @@ class DecodeEngine:
             apply_fn = GNNDecoder(mcfg, k=self.graph.k).apply
         graph_ = self.graph
 
-        @jax.jit
         def _decode(params, syndrome):
             out = apply_fn(params, graph_, syndrome)
             ex, ez = decode_corrections(out.qubit_logits)
             return jnp.stack([ex, ez], axis=-1)
 
-        self._decode = _decode
+        if data_parallel and data_parallel > 1:
+            # data-parallel serving: the request batch shards over a 1-D
+            # 'data' mesh (GSPMD partitions the per-sample decode with no
+            # collectives on the forward path); params/graph replicate
+            import numpy as _np
+            from jax.sharding import Mesh, NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            devs = jax.devices()
+            if len(devs) < data_parallel:
+                raise ValueError(
+                    f"data_parallel={data_parallel} but only {len(devs)} devices")
+            if max_batch % data_parallel:
+                raise ValueError("max_batch must divide by data_parallel")
+            mesh = Mesh(_np.asarray(devs[:data_parallel]), ("data",))
+            rep = NamedSharding(mesh, P())
+            shard = NamedSharding(mesh, P("data"))
+            self._decode = jax.jit(
+                _decode,
+                in_shardings=(rep, shard),
+                out_shardings=shard,
+            )
+        else:
+            self._decode = jax.jit(_decode)
         # warm up: compile at the serving batch size
         dummy = jnp.zeros((max_batch, self.graph.n_checks_pad), jnp.float32)
         from tpugnn.utils.timing import hard_sync
