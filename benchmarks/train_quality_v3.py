@@ -36,6 +36,9 @@ def main() -> int:
     ap.add_argument("--ema", type=float, default=None, metavar="DECAY",
                     help="maintain an EMA of the params (e.g. 0.999); "
                          "reported as ler_ema, saved under <out>/ema")
+    ap.add_argument("--p-mix", type=float, nargs=2, default=None,
+                    metavar=("LO", "HI"),
+                    help="per-shot training noise rate ~ Uniform[LO, HI]")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -63,6 +66,7 @@ def main() -> int:
                 checkpoint_dir=os.path.abspath(out),
                 metrics_jsonl=os.path.join(out, "metrics.jsonl"),
                 ema_decay=args.ema,
+                p_mix=tuple(args.p_mix) if args.p_mix else None,
             ),
         )
         t0 = time.time()

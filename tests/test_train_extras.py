@@ -76,3 +76,33 @@ def test_ema_params(tmp_path):
     # resume restores the EMA stream too (no crash, correct final step)
     state2, _, _, _ = train(cfg, log=lambda *_: None)
     assert int(state2.step) == cfg.train.steps
+
+
+def test_p_mix_per_shot_rates(tmp_path):
+    cfg = _cfg(tmp_path, p_mix=(0.01, 0.3))
+    graph = build_code("repetition", 5)
+    state, model = init_state(cfg, graph)
+    step = make_train_step(cfg, model)
+    for _ in range(3):
+        state, metrics = step(state, graph)
+    assert np.isfinite(float(metrics["loss"]))
+    # per-shot p actually varies the error weight distribution: sample the
+    # same mechanism directly
+    import jax.numpy as jnp
+    from tpugnn.sampling import sample_batch
+    key = jax.random.PRNGKey(0)
+    p = jax.random.uniform(key, (512, 1), minval=0.0, maxval=0.4)
+    b = sample_batch(jax.random.PRNGKey(1), graph, p, 512)
+    w = np.asarray(jnp.sum(b.ex + b.ez, axis=-1))
+    lo = w[np.asarray(p[:, 0]) < 0.1].mean()
+    hi = w[np.asarray(p[:, 0]) > 0.3].mean()
+    assert hi > lo + 0.3  # higher per-shot p -> heavier errors
+
+
+def test_p_mix_and_curriculum_exclusive(tmp_path):
+    cfg = _cfg(tmp_path, p_mix=(0.01, 0.2), p_curriculum=(0.0, 0.1, 5))
+    graph = build_code("repetition", 5)
+    state, model = init_state(cfg, graph)
+    import pytest
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        make_train_step(cfg, model)

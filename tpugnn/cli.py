@@ -42,6 +42,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--eval-every", type=int, default=500)
     p.add_argument("--eval-shots", type=int, default=4096)
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--p-mix", type=float, nargs=2, default=None,
+                   metavar=("LO", "HI"),
+                   help="per-shot training noise rate ~ Uniform[LO, HI]")
     p.add_argument("--dt", type=int, default=1,
                    help="syndrome-measurement rounds; >1 decodes a "
                         "spacetime detector graph (see --noise)")
@@ -83,6 +86,7 @@ def build_config(args: argparse.Namespace) -> ExperimentConfig:
             eval_every=args.eval_every,
             eval_shots=args.eval_shots,
             checkpoint_dir=args.checkpoint_dir,
+            p_mix=tuple(args.p_mix) if args.p_mix else None,
         ),
     )
 

@@ -66,6 +66,10 @@ class TrainConfig:
     profile_dir: Optional[str] = None     # jax.profiler trace of steps 10..14
     # linear noise curriculum (p_from, p_to, over_steps); None = fixed code.p
     p_curriculum: Optional[Tuple[float, float, int]] = None
+    # per-SHOT noise-rate mixing: each training sample draws its own
+    # p ~ Uniform[lo, hi] (trains one decoder for a whole p range instead
+    # of one operating point); mutually exclusive with p_curriculum
+    p_mix: Optional[Tuple[float, float]] = None
     # EMA of params for eval/serving (e.g. 0.999); kept OUTSIDE TrainState
     # (old checkpoints stay restorable), saved under checkpoint_dir/ema
     ema_decay: Optional[float] = None

@@ -144,6 +144,9 @@ def make_train_step(cfg: ExperimentConfig, model: GNNDecoder):
     else:
         apply_fn = model.apply
 
+    if cfg.train.p_curriculum is not None and cfg.train.p_mix is not None:
+        raise ValueError("p_curriculum and p_mix are mutually exclusive")
+
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, graph: TannerGraph):
         key, sub = jax.random.split(state.key)
@@ -151,6 +154,13 @@ def make_train_step(cfg: ExperimentConfig, model: GNNDecoder):
             p0, p1, over = cfg.train.p_curriculum
             frac = jnp.minimum(state.step.astype(jnp.float32) / max(over, 1), 1.0)
             p = p0 + (p1 - p0) * frac
+        elif cfg.train.p_mix is not None:
+            # per-shot rate: [B, 1] broadcasts against the [B, n_pad]
+            # uniform draw inside sample_depolarizing
+            sub, psub = jax.random.split(sub)
+            lo, hi = cfg.train.p_mix
+            p = jax.random.uniform(psub, (cfg.train.batch, 1),
+                                   minval=lo, maxval=hi)
         else:
             p = cfg.code.p
         batch = sample_batch(sub, graph, p, cfg.train.batch)
