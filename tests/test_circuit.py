@@ -21,14 +21,18 @@ from tpugnn.tanner.circuit import (
     circuit_fault_classes,
     elementary_faults,
     fault_effect,
+    repetition_schedule,
     surface_schedule,
     toric_schedule,
 )
+from tpugnn.tanner.repetition import repetition_code_checks
 from tpugnn.tanner.surface import surface_code_checks
 from tpugnn.tanner.toric import toric_code_checks
 
-CHECKS = {"surface": surface_code_checks, "toric": toric_code_checks}
-SCHEDULES = {"surface": surface_schedule, "toric": toric_schedule}
+CHECKS = {"surface": surface_code_checks, "toric": toric_code_checks,
+          "repetition": repetition_code_checks}
+SCHEDULES = {"surface": surface_schedule, "toric": toric_schedule,
+             "repetition": repetition_schedule}
 
 
 def simulate_circuit(own_sched, other_sched, n_data, d_t, prims):
@@ -76,7 +80,7 @@ def simulate_circuit(own_sched, other_sched, n_data, d_t, prims):
 @pytest.mark.parametrize(
     "family,d,d_t",
     [("surface", 3, 3), ("surface", 3, 2), ("surface", 5, 3),
-     ("toric", 3, 3), ("toric", 2, 2)],
+     ("toric", 3, 3), ("toric", 2, 2), ("repetition", 5, 3)],
 )
 def test_closed_form_matches_simulation(family, d, d_t):
     """Every elementary fault's (symptom, e_net) matches the simulator."""
@@ -118,7 +122,7 @@ def test_random_fault_combinations_match_simulation():
         np.testing.assert_array_equal(err, x_sim)
 
 
-@pytest.mark.parametrize("family", ["surface", "toric"])
+@pytest.mark.parametrize("family", ["surface", "toric", "repetition"])
 def test_schedule_is_conflict_free_and_matches_checks(family):
     for d in (3, 5, 7):
         hx, hz = CHECKS[family](d)
@@ -212,7 +216,32 @@ def test_toric_circuit_graph():
 
 def test_unknown_family_raises():
     with pytest.raises(ValueError, match="surface.*toric"):
-        build_circuit_code("repetition", 3, 3)
+        build_circuit_code("steane", 3, 3)
+    with pytest.raises(ValueError, match="no x-sector"):
+        build_circuit_code("repetition", 3, 3, sector="x")
+
+
+def test_repetition_circuit_graph():
+    """Repetition circuit-level graph: k=1, sampling/syndrome consistency,
+    decoder runs end-to-end."""
+    g = build_circuit_code("repetition", 5, 3)
+    assert g.n_checks_x == 0 and g.k == 1
+    b = sample_batch(jax.random.PRNGKey(0), g, 0.02, 128)
+    assert not np.asarray(b.ez).any()
+    import jax.numpy as jnp
+
+    ex0 = jnp.mod(b.syndrome @ g.pure_ex.T, 2.0)
+    s2 = syndrome(g, ex0, jnp.zeros_like(ex0))
+    np.testing.assert_array_equal(np.asarray(s2), np.asarray(b.syndrome))
+
+    from tpugnn.configs import ModelConfig
+    from tpugnn.models import GNNDecoder
+
+    cfg = ModelConfig(hidden=16, msg_hidden=16, rounds=2)
+    model = GNNDecoder(cfg, k=g.k)
+    params = model.init(jax.random.PRNGKey(1), g, b.syndrome)
+    out = model.apply(params, g, b.syndrome)
+    assert out.qubit_logits.shape[:2] == (128, g.n_qubits_pad)
 
 
 @pytest.mark.parametrize("family,d,d_t", [("surface", 3, 3), ("toric", 3, 2)])

@@ -50,7 +50,8 @@ from tpugnn.tanner.graph import TannerGraph, build_tanner_graph
 from tpugnn.utils import f2
 
 __all__ = [
-    "surface_schedule", "toric_schedule", "elementary_faults", "fault_effect",
+    "surface_schedule", "toric_schedule", "repetition_schedule",
+    "elementary_faults", "fault_effect",
     "circuit_fault_classes", "build_circuit_code",
 ]
 
@@ -135,6 +136,18 @@ def toric_schedule(d: int) -> tuple[list[list[tuple[int, int]]], list[list[tuple
                 [(hq(r, c), 0), (vq(r, c), 1), (vq(r, c + 1), 2), (hq(r + 1, c), 3)]
             )
     return x_sched, z_sched
+
+
+def repetition_schedule(d: int) -> tuple[list[list[tuple[int, int]]], list[list[tuple[int, int]]]]:
+    """(x_sched, z_sched) for the d-qubit repetition (bit-flip) code.
+
+    Two CNOT layers: Z-check c reads data qubit c at layer 0 and c+1 at
+    layer 1 (qubit q serves check q at layer 0 and check q-1 at layer 1 —
+    no qubit does two CNOTs in one layer).  There are no X-type checks.
+    """
+    if d < 2:
+        raise ValueError("repetition code needs d >= 2")
+    return [], [[(c, 0), (c + 1, 1)] for c in range(d - 1)]
 
 
 def elementary_faults(
@@ -307,12 +320,17 @@ def build_circuit_code(
 
         hx, hz = toric.toric_code_checks(distance)
         x_sched, z_sched = toric_schedule(distance)
+    elif family == "repetition":
+        from tpugnn.tanner import repetition
+
+        hx, hz = repetition.repetition_code_checks(distance)
+        x_sched, z_sched = repetition_schedule(distance)
     else:
         raise ValueError(
-            "circuit-level noise is implemented for family='surface' and "
-            "'toric' (CNOT schedules are geometry-specific); "
-            "phenomenological spacetime graphs (tanner.spacetime) cover "
-            "the other families"
+            "circuit-level noise is implemented for family='surface', "
+            "'toric' and 'repetition' (CNOT schedules are geometry-"
+            "specific); phenomenological spacetime graphs (tanner."
+            "spacetime) cover the other families"
         )
     assert len(x_sched) == hx.shape[0] and len(z_sched) == hz.shape[0]
     # schedule/back-matrix consistency: supports must match row for row
@@ -326,6 +344,8 @@ def build_circuit_code(
         own, other, base_logical = x_sched, z_sched, None
     else:
         raise ValueError("sector must be 'x' or 'z'")
+    if not own:
+        raise ValueError(f"{family} has no {sector}-sector checks")
     n = hx.shape[1]
     hp, e_net, rate = circuit_fault_classes(own, other, n, d_t)
 
