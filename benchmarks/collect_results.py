@@ -1,0 +1,126 @@
+"""Aggregate all benchmark/quality artifacts into docs/RESULTS.md.
+
+Idempotent: reads whatever exists under runs/ and benchmarks/ and rewrites
+the summary; rerun after any queue drain.
+
+    python benchmarks/collect_results.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _jsonl(path):
+    rows = []
+    try:
+        with open(os.path.join(ROOT, path)) as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        rows.append(json.loads(line))
+                    except Exception:
+                        pass
+    except OSError:
+        pass
+    return rows
+
+
+def main() -> int:
+    out = ["# Results (auto-collected)\n",
+           "Regenerate with `python benchmarks/collect_results.py` after "
+           "a queue drain.\n"]
+
+    bench = _jsonl("runs/bench_prod_variants.json")
+    if bench:
+        b = bench[-1]
+        out.append("## Headline decode throughput (bench.py)\n")
+        out.append("```json\n" + json.dumps(b, indent=1) + "\n```\n")
+
+    out.append("## Logical error rate\n")
+    out.append("See `benchmarks/LER_TABLE.md` (1M-shot Monte-Carlo, GNN vs "
+               "union-find vs BP+OSD-0).\n")
+
+    tp = _jsonl("runs/decoder_throughput.json")
+    if tp:
+        out.append("## Decoder throughput comparison\n")
+        out.append("| decoder | shots/s | batch |\n|---|---|---|\n")
+        for r in tp:
+            if "shots_per_s" in r:
+                out.append(f"| {r['decoder']} | {r['shots_per_s']:.0f} | "
+                           f"{r['batch']} |\n")
+        out.append("\n")
+
+    sl = _jsonl("runs/serve_latency_d11.json")
+    if sl:
+        out.append("## Serving latency (d=11)\n")
+        out.append("| batch | latency ms | pipelined ms | shots/s |\n"
+                   "|---|---|---|---|\n")
+        for r in sl:
+            if "latency_ms" in r:
+                out.append(f"| {r['batch']} | {r['latency_ms']} | "
+                           f"{r['pipelined_ms']} | {r['shots_per_s']:.0f} |\n")
+        out.append("\n")
+
+    pa = _jsonl("runs/probe_attrib_r1e.json")
+    if pa:
+        out.append("## Kernel schedule attribution (d=11 hardware probe)\n")
+        out.append("| variant | step ms | M edges/s |\n|---|---|---|\n")
+        for r in pa:
+            if "step_ms" in r:
+                out.append(f"| {r['variant']} | {r['step_ms']} | "
+                           f"{r['medges_per_s']} |\n")
+        out.append("\n")
+
+    pt = _jsonl("runs/probe_train_step.json")
+    if pt:
+        out.append("## Training-step backends (d=11)\n")
+        out.append("```json\n" + "\n".join(json.dumps(r) for r in pt) + "\n```\n")
+
+    nw = _jsonl("runs/probe_narrow_h96.json")
+    if nw:
+        out.append("## Narrow-width (H=96, padded) kernel hardware check\n")
+        out.append("```json\n" + "\n".join(json.dumps(r) for r in nw) + "\n```\n")
+
+    sq = _jsonl("runs/stream_quality.json")
+    if sq:
+        out.append("## Streaming decode quality (GNN windows vs union-find)\n")
+        out.append("| family | d | W/C | T | p | GNN stream | UF stream | "
+                   "UF monolithic |\n|---|---|---|---|---|---|---|---|\n")
+        for r in sq:
+            if "gnn_stream" in r:
+                out.append(
+                    f"| {r['family']} | {r['d']} | {r['window']}/{r['commit']} "
+                    f"| {r['total_rounds']} | {r['p']} | {r['gnn_stream']:.4g} "
+                    f"| {r['uf_stream']:.4g} | {r['uf_monolithic']:.4g} |\n")
+        out.append("\n")
+
+    # quality-run finals from the training logs
+    finals = [r for r in _jsonl("runs/train_quality_v3.log") if "final" in r]
+    if finals:
+        out.append("## Flagship training finals (surface, p=0.05 in-train eval)\n")
+        out.append("| d | steps | wall s | hybrid LER | EMA hybrid |\n"
+                   "|---|---|---|---|---|\n")
+        for r in finals:
+            f = r["final"]
+            hy = f.get("ler_hybrid")
+            em = f.get("ler_hybrid_ema")
+            out.append(f"| {r['d']} | {r['steps']} | {r['wall_s']} | "
+                       f"{'-' if hy is None else f'{hy:.4g}'} | "
+                       f"{'-' if em is None else f'{em:.4g}'} |\n")
+        out.append("\n")
+
+    path = os.path.join(ROOT, "docs", "RESULTS.md")
+    with open(path, "w") as f:
+        f.write("\n".join(x.rstrip("\n") for x in out) + "\n")
+    print(f"wrote {path}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
