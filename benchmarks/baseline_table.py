@@ -1,4 +1,4 @@
-"""High-shot classical-baseline LER table (union-find + BP+OSD-0).
+"""High-shot classical-baseline LER table (union-find, BP+OSD-0, MWPM).
 
 The GNN side of the parity table evaluates in seconds on the TPU; the
 classical baselines are host-side (C++ union-find / OSD) and dominate
@@ -30,7 +30,7 @@ def main() -> int:
     ap.add_argument("--shots", type=int, default=1_000_000)
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--bp-iters", type=int, default=32)
-    ap.add_argument("--decoders", nargs="+", default=["uf", "bp_osd"])
+    ap.add_argument("--decoders", nargs="+", default=["uf", "bp_osd", "mwpm"])
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "baseline_ler.jsonl"))
     ap.add_argument("--cpu", action="store_true")
@@ -42,7 +42,7 @@ def main() -> int:
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    from tpugnn.eval.baseline import ler_bp_osd, ler_union_find
+    from tpugnn.eval.baseline import ler_bp_osd, ler_mwpm, ler_union_find
     from tpugnn.tanner import build_code
 
     done = set()
@@ -67,6 +67,10 @@ def main() -> int:
                     t0 = time.time()
                     if dec == "uf":
                         ev = ler_union_find(
+                            graph, p=p, shots=args.shots, batch=args.batch,
+                            key=jax.random.PRNGKey(1234))
+                    elif dec == "mwpm":
+                        ev = ler_mwpm(
                             graph, p=p, shots=args.shots, batch=args.batch,
                             key=jax.random.PRNGKey(1234))
                     else:

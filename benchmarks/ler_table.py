@@ -31,6 +31,8 @@ def main() -> int:
                          "reused instead of re-sampling baselines inline")
     ap.add_argument("--no-bp", action="store_true",
                     help="skip the BP+OSD baseline column")
+    ap.add_argument("--no-mwpm", action="store_true",
+                    help="skip the exact-MWPM baseline column")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "LER_TABLE.md"))
     args = ap.parse_args()
@@ -53,7 +55,7 @@ def main() -> int:
 
     from tpugnn.configs import CodeConfig, ExperimentConfig, ModelConfig, TrainConfig
     from tpugnn.eval import ler_monte_carlo
-    from tpugnn.eval.baseline import ler_bp_osd, ler_union_find
+    from tpugnn.eval.baseline import ler_bp_osd, ler_mwpm, ler_union_find
     from tpugnn.tanner import build_code
     from tpugnn.train.checkpoint import CheckpointManager
     from tpugnn.train.loop import init_state
@@ -117,6 +119,7 @@ def main() -> int:
                                      key=jax.random.PRNGKey(777))
             cuf = cache.get((family, d, p, "uf")) if dt == 1 else None
             cbp = cache.get((family, d, p, "bp_osd")) if dt == 1 else None
+            cmw = cache.get((family, d, p, "mwpm")) if dt == 1 else None
             uf = cuf if cuf is not None else ler_union_find(
                 graph, p=p, shots=args.shots, batch=4096,
                 key=jax.random.PRNGKey(777))
@@ -125,12 +128,22 @@ def main() -> int:
                      ler_bp_osd(graph, p=p, shots=args.shots, batch=4096,
                                 iters=args.bp_iters,
                                 key=jax.random.PRNGKey(777)))
+            mwpm = None
+            if not args.no_mwpm:
+                try:  # defensive: never lose the table to a baseline column
+                    mwpm = cmw if cmw is not None else ler_mwpm(
+                        graph, p=p, shots=args.shots, batch=4096,
+                        key=jax.random.PRNGKey(777))
+                except Exception as e:
+                    print(f"mwpm baseline failed for {spec} p={p} "
+                          f"({type(e).__name__}: {e})", file=sys.stderr)
             row = {"family": family if dt == 1 else graph.name, "d": d, "p": p,
                    "gnn_hybrid": ev.get("ler_hybrid"),
                    "gnn_logical": ev.get("ler_logical"),
                    "gnn_per_qubit": ev["ler"],
                    "stderr": ev["ler_stderr"], "uf": uf["ler"],
-                   "bp_osd": None if bposd is None else bposd["ler"]}
+                   "bp_osd": None if bposd is None else bposd["ler"],
+                   "mwpm": None if mwpm is None else mwpm["ler"]}
             rows.append(row)
             print(json.dumps(row), flush=True)
             _write_md(args.out, args.shots, rows)  # incremental: survives a
@@ -143,14 +156,15 @@ def _write_md(path: str, shots: int, rows: list) -> None:
     with open(path, "w") as f:
         f.write("# Logical error rate: GNN decoder vs classical baselines\n\n")
         f.write(f"Monte-Carlo, {shots} shots per point; stderr ~ binomial.\n\n")
-        f.write("| family | d | p | GNN hybrid | GNN logical-head | GNN per-qubit | union-find | BP+OSD-0 |\n")
-        f.write("|---|---|---|---|---|---|---|---|\n")
+        f.write("| family | d | p | GNN hybrid | GNN logical-head | GNN per-qubit | union-find | BP+OSD-0 | MWPM |\n")
+        f.write("|---|---|---|---|---|---|---|---|---|\n")
         for r in rows:
             bp = "—" if r.get("bp_osd") is None else f"{r['bp_osd']:.4g}"
+            mw = "—" if r.get("mwpm") is None else f"{r['mwpm']:.4g}"
             f.write(
                 f"| {r['family']} | {r['d']} | {r['p']} | "
                 f"{r['gnn_hybrid']:.4g} | {r['gnn_logical']:.4g} | "
-                f"{r['gnn_per_qubit']:.4g} | {r['uf']:.4g} | {bp} |\n"
+                f"{r['gnn_per_qubit']:.4g} | {r['uf']:.4g} | {bp} | {mw} |\n"
             )
 
 

@@ -16,20 +16,14 @@ from tpugnn.baselines.union_find import UnionFindDecoder
 from tpugnn.sampling.noise import sample_batch
 from tpugnn.tanner.graph import TannerGraph
 
-__all__ = ["ler_union_find", "ler_bp", "ler_bp_osd"]
+__all__ = ["ler_union_find", "ler_bp", "ler_bp_osd", "ler_mwpm"]
 
 
-def ler_union_find(
-    graph: TannerGraph,
-    *,
-    p: float,
-    shots: int,
-    batch: int = 4096,
-    key: jax.Array | None = None,
-    force_python: bool = False,
-) -> dict[str, float]:
+def _ler_host(graph, dec, name, *, p, shots, batch, key) -> dict[str, float]:
+    """Shared Monte-Carlo loop for host-side decoders (UF / OSD / MWPM):
+    sample on device, decode on host, check residual syndrome + logical
+    parity in numpy."""
     key = key if key is not None else jax.random.PRNGKey(0)
-    dec = UnionFindDecoder(graph, force_python=force_python)
     n = graph.n_qubits
     hx = np.asarray(graph.h_syn_ez)[: graph.n_checks, :n]   # X-type rows
     hz = np.asarray(graph.h_syn_ex)[: graph.n_checks, :n]   # Z-type rows
@@ -39,8 +33,7 @@ def ler_union_find(
     fails = 0
     syn_mismatch = 0
     total = 0
-    n_chunks = max(1, (shots + batch - 1) // batch)
-    for _ in range(n_chunks):
+    for _ in range(max(1, (shots + batch - 1) // batch)):
         key, sub = jax.random.split(key)
         b = sample_batch(sub, graph, p, batch)
         ex = np.asarray(b.ex)[:, :n].astype(np.uint8)
@@ -48,7 +41,7 @@ def ler_union_find(
         ex_hat, ez_hat = dec.decode(np.asarray(b.syndrome))
         rx = (ex ^ ex_hat) & 1
         rz = (ez ^ ez_hat) & 1
-        # residual syndrome must vanish (union-find reproduces by design)
+        # residual syndrome must vanish (every baseline reproduces it by design)
         sm = ((rx @ hz.T) % 2).any(axis=1) | ((rz @ hx.T) % 2).any(axis=1)
         lf = ((rx @ lz.T) % 2).any(axis=1) | ((rz @ lx.T) % 2).any(axis=1)
         fails += int(np.sum(sm | lf))
@@ -60,8 +53,41 @@ def ler_union_find(
         "ler_stderr": (max(ler * (1 - ler), 1e-12) / total) ** 0.5,
         "syn_mismatch_rate": syn_mismatch / total,
         "shots": float(total),
-        "decoder": "union_find",
+        "decoder": name,
     }
+
+
+def ler_union_find(
+    graph: TannerGraph,
+    *,
+    p: float,
+    shots: int,
+    batch: int = 4096,
+    key: jax.Array | None = None,
+    force_python: bool = False,
+) -> dict[str, float]:
+    dec = UnionFindDecoder(graph, force_python=force_python)
+    return _ler_host(graph, dec, "union_find", p=p, shots=shots, batch=batch,
+                     key=key)
+
+
+def ler_mwpm(
+    graph: TannerGraph,
+    *,
+    p: float,
+    shots: int,
+    batch: int = 4096,
+    key: jax.Array | None = None,
+    force_python: bool = False,
+) -> dict[str, float]:
+    """Monte-Carlo LER of exact minimum-weight perfect matching (the
+    reference's canonical baseline [SURVEY.md §2.1 C6]).  On detector
+    graphs with per-fault rates, matching is log-likelihood weighted."""
+    from tpugnn.baselines.mwpm import MWPMDecoder
+
+    dec = MWPMDecoder(graph, p=p, force_python=force_python)
+    return _ler_host(graph, dec, "mwpm", p=p, shots=shots, batch=batch,
+                     key=key)
 
 
 def ler_bp(
@@ -130,36 +156,7 @@ def ler_bp_osd(
     """Monte-Carlo LER of BP + OSD-0 (device BP, native host OSD)."""
     from tpugnn.baselines.osd import BPOSDDecoder
 
-    key = key if key is not None else jax.random.PRNGKey(0)
     dec = BPOSDDecoder(graph, p=p, iters=iters, alpha=alpha,
                        force_python=force_python)
-    n = graph.n_qubits
-    hx = np.asarray(graph.h_syn_ez)[: graph.n_checks, :n]
-    hz = np.asarray(graph.h_syn_ex)[: graph.n_checks, :n]
-    lx = np.asarray(graph.logicals_x)[:, :n]
-    lz = np.asarray(graph.logicals_z)[:, :n]
-
-    fails = 0
-    syn_mismatch = 0
-    total = 0
-    for _ in range(max(1, (shots + batch - 1) // batch)):
-        key, sub = jax.random.split(key)
-        b = sample_batch(sub, graph, p, batch)
-        ex = np.asarray(b.ex)[:, :n].astype(np.uint8)
-        ez = np.asarray(b.ez)[:, :n].astype(np.uint8)
-        ex_hat, ez_hat = dec.decode(b.syndrome)
-        rx = (ex ^ ex_hat) & 1
-        rz = (ez ^ ez_hat) & 1
-        sm = ((rx @ hz.T) % 2).any(axis=1) | ((rz @ hx.T) % 2).any(axis=1)
-        lf = ((rx @ lz.T) % 2).any(axis=1) | ((rz @ lx.T) % 2).any(axis=1)
-        fails += int(np.sum(sm | lf))
-        syn_mismatch += int(np.sum(sm))
-        total += batch
-    ler = fails / total
-    return {
-        "ler": ler,
-        "ler_stderr": (max(ler * (1 - ler), 1e-12) / total) ** 0.5,
-        "syn_mismatch_rate": syn_mismatch / total,
-        "shots": float(total),
-        "decoder": f"bp_osd0(iters={iters}, alpha={alpha})",
-    }
+    return _ler_host(graph, dec, f"bp_osd0(iters={iters}, alpha={alpha})",
+                     p=p, shots=shots, batch=batch, key=key)

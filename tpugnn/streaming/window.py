@@ -134,6 +134,27 @@ class SlidingWindowDecoder:
         self._decode_window = _decode
         return self
 
+    @classmethod
+    def from_mwpm(cls, family, distance, *, window, commit,
+                  sector: str = "z", p: Optional[float] = None,
+                  **kw) -> "SlidingWindowDecoder":
+        """Window decoder = exact MWPM on the window's detector graph (the
+        classic sliding-window matching decoder this module's scheme comes
+        from).  Pass the physical rate ``p`` for log-likelihood-weighted
+        matching when measurement and data fault rates differ."""
+        self = cls(family, distance, window=window, commit=commit,
+                   sector=sector, **kw)
+        from tpugnn.baselines.mwpm import MWPMDecoder
+
+        mw = MWPMDecoder(self.graph, p=p)
+
+        def _decode(d):
+            ex, _ = mw.decode(d)
+            return ex
+
+        self._decode_window = _decode
+        return self
+
     # -- streaming ----------------------------------------------------------
 
     def decode_stream(self, s_hat: np.ndarray) -> np.ndarray:

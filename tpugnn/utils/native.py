@@ -26,6 +26,7 @@ _CSRC = os.path.join(os.path.dirname(_ROOT), "csrc")
 
 _u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 _i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 _f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
 
 
@@ -76,6 +77,16 @@ def load() -> ctypes.CDLL | None:
             _u8, ctypes.c_int, ctypes.c_int,           # h [m, n], m, n
             _u8, _f32, ctypes.c_int,                   # syndromes [batch, m], llrs [batch, n], batch
             _u8,                                       # corrections out [batch, n]
+        ]
+        lib.mwpm_match.restype = ctypes.c_longlong
+        lib.mwpm_match.argtypes = [_i64, ctypes.c_int, _i32]
+        lib.mwpm_decode_batch.restype = ctypes.c_int
+        lib.mwpm_decode_batch.argtypes = [
+            _i64, _i32, _i32,                          # dist, par_v, par_e [(nv+1)^2]
+            ctypes.c_int, ctypes.c_int,                # nv, n_edges
+            ctypes.c_int, ctypes.c_longlong,           # has_boundary, inf sentinel
+            _u8, ctypes.c_int,                         # syndromes [batch, nv], batch
+            _u8,                                       # corrections out [batch, n_edges]
         ]
         _LIB = lib
         return _LIB
