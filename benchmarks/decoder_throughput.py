@@ -6,6 +6,8 @@ BP+OSD; this harness establishes the speed side on the SAME decode task
 
 * union-find: the native C++ batch decoder (tpugnn/baselines, csrc/) on the
   host CPU — the production-grade classical comparator;
+* exact MWPM: the native blossom matcher (csrc/mwpm.cpp) on the host CPU —
+  the reference's canonical quality baseline, timed on the same syndromes;
 * BP (min-sum, fixed iterations): fully on-device JAX;
 * GNN: the fused Pallas kernel number is read from the most recent
   bench.py output (or measured directly with --measure-gnn on TPU).
@@ -70,6 +72,22 @@ def main() -> int:
         ts.append((time.perf_counter() - t0) / n_batches)
     t = statistics.median(ts)
     rows.append({"decoder": "union_find_cpp_cpu",
+                 "shots_per_s": round(args.batch / t, 1),
+                 "batch": args.batch})
+
+    # ---- exact MWPM (native blossom, host CPU) -----------------------------
+    from tpugnn.baselines.mwpm import MWPMDecoder
+
+    mw = MWPMDecoder(graph)
+    mw.decode(syn)  # warm
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_batches):
+            mw.decode(syn)
+        ts.append((time.perf_counter() - t0) / n_batches)
+    t = statistics.median(ts)
+    rows.append({"decoder": "mwpm_blossom_cpp_cpu",
                  "shots_per_s": round(args.batch / t, 1),
                  "batch": args.batch})
 
