@@ -35,7 +35,7 @@ def test_train_eval_sweep_serve_roundtrip(tmp_path, capsys):
                 "--qubit-head", "pauli4", "--shots", "128",
                 "--ps", "0.01", "0.05", "--baseline")
     assert [r["p"] for r in rows] == [0.01, 0.05]
-    assert all("uf_ler" in r for r in rows)
+    assert all("uf_ler" in r and "mwpm_ler" in r for r in rows)
 
     # serve: demo batch (no --in)
     rows = _run(capsys, "serve", *TINY, "--checkpoint-dir", ck,

@@ -112,7 +112,8 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--shots", type=int, default=20_000)
             sp.add_argument("--ps", type=float, nargs="+", default=[0.01, 0.03, 0.05, 0.08])
             sp.add_argument("--baseline", action="store_true",
-                            help="also report union-find decoder LER per p")
+                            help="also report union-find + exact-MWPM "
+                                 "decoder LER per p")
         if name == "serve":
             sp.add_argument("--in", dest="infile", default=None,
                             help=".npy uint8 [B, m] syndromes (default: "
@@ -221,12 +222,16 @@ def main(argv: list[str] | None = None) -> int:
                    "p": p, **{k: ev[k] for k in ("ler", "ler_stderr", "shots")},
                    **({"ler_logical": ev["ler_logical"]} if "ler_logical" in ev else {})}
             if getattr(args, "baseline", False):
-                from tpugnn.eval.baseline import ler_union_find
+                from tpugnn.eval.baseline import ler_mwpm, ler_union_find
 
                 uf = ler_union_find(graph, p=p, shots=args.shots,
                                     batch=min(args.shots, 4096),
                                     key=jax.random.PRNGKey(cfg.train.seed + 7))
                 row["uf_ler"] = uf["ler"]
+                mw = ler_mwpm(graph, p=p, shots=args.shots,
+                              batch=min(args.shots, 4096),
+                              key=jax.random.PRNGKey(cfg.train.seed + 7))
+                row["mwpm_ler"] = mw["ler"]
             print(json.dumps(row))
         return 0
     return 1
