@@ -44,7 +44,7 @@ def main() -> int:
 
     out.append("## Logical error rate\n")
     out.append("See `benchmarks/LER_TABLE.md` (1M-shot Monte-Carlo, GNN vs "
-               "union-find vs BP+OSD-0).\n")
+               "union-find vs BP+OSD-0 vs exact MWPM).\n")
 
     tp = _jsonl("runs/decoder_throughput.json")
     if tp:
