@@ -35,7 +35,14 @@ def main() -> int:
                     help="skip the exact-MWPM baseline column")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "LER_TABLE.md"))
+    ap.add_argument("--rows-cache", default=None,
+                    help="JSONL of completed rows; matching (family, d, p, "
+                         "shots) rows are reused so an interrupted table "
+                         "resumes instead of recomputing (default: "
+                         "<out>.rows.jsonl)")
     args = ap.parse_args()
+    if args.rows_cache is None:
+        args.rows_cache = args.out + ".rows.jsonl"
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
@@ -50,6 +57,17 @@ def main() -> int:
                 try:
                     r = json.loads(line)
                     cache[(r["family"], r["d"], r["p"], r["decoder"])] = r
+                except Exception:
+                    pass
+
+    done = {}
+    if args.rows_cache and os.path.exists(args.rows_cache):
+        with open(args.rows_cache) as f:
+            for line in f:
+                try:
+                    r = json.loads(line)
+                    if r.get("shots") == args.shots:
+                        done[(r["family"], r["d"], r["p"])] = r
                 except Exception:
                     pass
 
@@ -83,6 +101,21 @@ def main() -> int:
             graph = build_spacetime_code(family, d, dt)
         else:
             graph = build_code(family, d)
+        fam_name = family if dt == 1 else graph.name
+
+        def _cached_ok(r):
+            return (r is not None and r.get("uf") is not None
+                    and (args.no_bp or r.get("bp_osd") is not None)
+                    and (args.no_mwpm or r.get("mwpm") is not None))
+
+        prevs = {p: done.get((fam_name, d, p)) for p in args.ps}
+        if all(_cached_ok(prevs[p]) for p in args.ps):
+            for p in args.ps:
+                rows.append(prevs[p])
+                print(json.dumps(prevs[p]), flush=True)
+            _write_md(args.out, args.shots, rows)
+            print(f"resume {spec}: all rows cached", file=sys.stderr)
+            continue
         state, model = init_state(cfg, graph)
         restored = CheckpointManager(ckpt).restore_latest(state)
         if restored is None:
@@ -103,6 +136,11 @@ def main() -> int:
         else:
             apply_fn = model.apply
         for p in args.ps:
+            if _cached_ok(prevs[p]):
+                rows.append(prevs[p])
+                print(json.dumps(prevs[p]), flush=True)
+                _write_md(args.out, args.shots, rows)
+                continue
             try:
                 ev = ler_monte_carlo(apply_fn, restored.params, graph, p=p,
                                      shots=args.shots, batch=4096,
@@ -137,17 +175,35 @@ def main() -> int:
                 except Exception as e:
                     print(f"mwpm baseline failed for {spec} p={p} "
                           f"({type(e).__name__}: {e})", file=sys.stderr)
-            row = {"family": family if dt == 1 else graph.name, "d": d, "p": p,
+            row = {"family": fam_name, "d": d, "p": p,
                    "gnn_hybrid": ev.get("ler_hybrid"),
                    "gnn_logical": ev.get("ler_logical"),
                    "gnn_per_qubit": ev["ler"],
                    "stderr": ev["ler_stderr"], "uf": uf["ler"],
                    "bp_osd": None if bposd is None else bposd["ler"],
-                   "mwpm": None if mwpm is None else mwpm["ler"]}
+                   "mwpm": None if mwpm is None else mwpm["ler"],
+                   "shots": args.shots}
             rows.append(row)
             print(json.dumps(row), flush=True)
             _write_md(args.out, args.shots, rows)  # incremental: survives a
             #                                        mid-table interruption
+            if args.rows_cache:
+                with open(args.rows_cache, "a") as f:
+                    f.write(json.dumps(row) + "\n")
+            # inline-computed baselines are expensive (1M-shot CPU matching):
+            # persist them to the baseline cache for the next invocation
+            if args.baseline_cache and dt == 1:
+                fresh = [("uf", uf, cuf), ("bp_osd", bposd, cbp),
+                         ("mwpm", mwpm, cmw)]
+                with open(args.baseline_cache, "a") as f:
+                    for dec, ev_b, hit in fresh:
+                        if ev_b is None or hit is not None:
+                            continue
+                        f.write(json.dumps(
+                            {"family": family, "d": d, "p": p, "decoder": dec,
+                             "ler": ev_b["ler"],
+                             "ler_stderr": ev_b.get("ler_stderr"),
+                             "shots": ev_b.get("shots", args.shots)}) + "\n")
     print(f"wrote {args.out}", file=sys.stderr)
     return 0
 
