@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import statistics
 import sys
 import time
@@ -202,6 +203,16 @@ def _report(args, results) -> int:
                           rounds=args.rounds, hidden=args.hidden, iters=1)
         line["profile_dir"] = args.profile
     print(json.dumps(line))
+    # also persist to benchmarks/bench_latest.json regardless of where the
+    # caller redirects stdout (round-1 queue runs left it stale)
+    try:
+        latest = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "benchmarks", "bench_latest.json")
+        with open(latest, "w") as f:
+            json.dump(line, f, indent=1)
+            f.write("\n")
+    except OSError as e:
+        print(f"bench_latest.json not written: {e}", file=sys.stderr)
     return 0
 
 

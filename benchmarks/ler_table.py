@@ -33,16 +33,28 @@ def main() -> int:
                     help="skip the BP+OSD baseline column")
     ap.add_argument("--no-mwpm", action="store_true",
                     help="skip the exact-MWPM baseline column")
+    ap.add_argument("--no-cleanup", action="store_true",
+                    help="skip the GNN+UF / GNN+MWPM residual-cleanup "
+                         "hybrid columns")
+    ap.add_argument("--tau", type=float, default=None,
+                    help="confidence gate for the cleanup hybrids (keep GNN "
+                         "flips with posterior max-prob >= tau)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "LER_TABLE.md"))
     ap.add_argument("--rows-cache", default=None,
-                    help="JSONL of completed rows; matching (family, d, p, "
-                         "shots) rows are reused so an interrupted table "
-                         "resumes instead of recomputing (default: "
-                         "<out>.rows.jsonl)")
+                    help="JSONL of completed rows; rows matching (family, d, "
+                         "p, shots) AND the spec's checkpoint identity (dir, "
+                         "restored step, hidden/rounds/head) are reused so an "
+                         "interrupted table resumes instead of recomputing. "
+                         "Default: <out>.rows.jsonl (ON by default; pass '' "
+                         "to disable, or --fresh to ignore existing rows)")
+    ap.add_argument("--fresh", action="store_true",
+                    help="ignore existing cached rows (recompute everything; "
+                         "new rows are still appended to the rows cache)")
     args = ap.parse_args()
     if args.rows_cache is None:
         args.rows_cache = args.out + ".rows.jsonl"
+    args.rows_cache = args.rows_cache or None
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
@@ -50,18 +62,27 @@ def main() -> int:
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    # baseline cache: highest-shot row wins per (family, d, p, decoder), and
+    # only rows with at least the requested shot count are trusted — a
+    # low-shot smoke run appending to the shared cache can no longer shadow
+    # the curated 1M-shot baselines
     cache = {}
     if args.baseline_cache and os.path.exists(args.baseline_cache):
         with open(args.baseline_cache) as f:
             for line in f:
                 try:
                     r = json.loads(line)
-                    cache[(r["family"], r["d"], r["p"], r["decoder"])] = r
+                    k = (r["family"], r["d"], r["p"], r["decoder"])
+                    if (r.get("shots") or 0) < args.shots:
+                        continue
+                    if k not in cache or (r.get("shots") or 0) >= (
+                            cache[k].get("shots") or 0):
+                        cache[k] = r
                 except Exception:
                     pass
 
     done = {}
-    if args.rows_cache and os.path.exists(args.rows_cache):
+    if args.rows_cache and not args.fresh and os.path.exists(args.rows_cache):
         with open(args.rows_cache) as f:
             for line in f:
                 try:
@@ -103,10 +124,25 @@ def main() -> int:
             graph = build_code(family, d)
         fam_name = family if dt == 1 else graph.name
 
+        # checkpoint identity: cached GNN rows are only valid for the exact
+        # checkpoint (dir + restored step) and model shape they were computed
+        # with — re-running the table after further training re-evaluates
+        # instead of silently reusing stale rows [ADVICE r1]
+        ckpt_norm = os.path.abspath(ckpt)
+        mgr = CheckpointManager(ckpt)
+        latest = mgr.latest_step()
+        if latest is None:
+            print(f"skip {spec}: no checkpoint", file=sys.stderr)
+            continue
+        ident = {"ckpt": ckpt_norm, "step": latest, "hidden": hidden,
+                 "rounds": rounds, "head": head}
+
         def _cached_ok(r):
             return (r is not None and r.get("uf") is not None
                     and (args.no_bp or r.get("bp_osd") is not None)
-                    and (args.no_mwpm or r.get("mwpm") is not None))
+                    and (args.no_mwpm or r.get("mwpm") is not None)
+                    and (args.no_cleanup or r.get("gnn_uf") is not None)
+                    and all(r.get(k) == v for k, v in ident.items()))
 
         prevs = {p: done.get((fam_name, d, p)) for p in args.ps}
         if all(_cached_ok(prevs[p]) for p in args.ps):
@@ -117,7 +153,7 @@ def main() -> int:
             print(f"resume {spec}: all rows cached", file=sys.stderr)
             continue
         state, model = init_state(cfg, graph)
-        restored = CheckpointManager(ckpt).restore_latest(state)
+        restored = mgr.restore_latest(state)
         if restored is None:
             print(f"skip {spec}: no checkpoint", file=sys.stderr)
             continue
@@ -175,14 +211,33 @@ def main() -> int:
                 except Exception as e:
                     print(f"mwpm baseline failed for {spec} p={p} "
                           f"({type(e).__name__}: {e})", file=sys.stderr)
+            guf = gmw = None
+            if not args.no_cleanup:
+                from tpugnn.eval.hybrid import ler_gnn_cleanup
+
+                try:  # defensive: never lose the table to a hybrid column
+                    guf = ler_gnn_cleanup(
+                        apply_fn, restored.params, graph, p=p,
+                        shots=args.shots, batch=4096, cleanup="uf",
+                        tau=args.tau, key=jax.random.PRNGKey(777))
+                    if not args.no_mwpm:
+                        gmw = ler_gnn_cleanup(
+                            apply_fn, restored.params, graph, p=p,
+                            shots=args.shots, batch=4096, cleanup="mwpm",
+                            tau=args.tau, key=jax.random.PRNGKey(777))
+                except Exception as e:
+                    print(f"gnn-cleanup failed for {spec} p={p} "
+                          f"({type(e).__name__}: {e})", file=sys.stderr)
             row = {"family": fam_name, "d": d, "p": p,
                    "gnn_hybrid": ev.get("ler_hybrid"),
                    "gnn_logical": ev.get("ler_logical"),
+                   "gnn_uf": None if guf is None else guf["ler"],
+                   "gnn_mwpm": None if gmw is None else gmw["ler"],
                    "gnn_per_qubit": ev["ler"],
                    "stderr": ev["ler_stderr"], "uf": uf["ler"],
                    "bp_osd": None if bposd is None else bposd["ler"],
                    "mwpm": None if mwpm is None else mwpm["ler"],
-                   "shots": args.shots}
+                   "shots": args.shots, **ident}
             rows.append(row)
             print(json.dumps(row), flush=True)
             _write_md(args.out, args.shots, rows)  # incremental: survives a
@@ -212,15 +267,16 @@ def _write_md(path: str, shots: int, rows: list) -> None:
     with open(path, "w") as f:
         f.write("# Logical error rate: GNN decoder vs classical baselines\n\n")
         f.write(f"Monte-Carlo, {shots} shots per point; stderr ~ binomial.\n\n")
-        f.write("| family | d | p | GNN hybrid | GNN logical-head | GNN per-qubit | union-find | BP+OSD-0 | MWPM |\n")
-        f.write("|---|---|---|---|---|---|---|---|---|\n")
+        f.write("| family | d | p | GNN hybrid | GNN+UF | GNN+MWPM | GNN logical-head | GNN per-qubit | union-find | BP+OSD-0 | MWPM |\n")
+        f.write("|---|---|---|---|---|---|---|---|---|---|---|\n")
         for r in rows:
-            bp = "—" if r.get("bp_osd") is None else f"{r['bp_osd']:.4g}"
-            mw = "—" if r.get("mwpm") is None else f"{r['mwpm']:.4g}"
+            opt = lambda k: ("—" if r.get(k) is None else f"{r[k]:.4g}")
             f.write(
                 f"| {r['family']} | {r['d']} | {r['p']} | "
-                f"{r['gnn_hybrid']:.4g} | {r['gnn_logical']:.4g} | "
-                f"{r['gnn_per_qubit']:.4g} | {r['uf']:.4g} | {bp} | {mw} |\n"
+                f"{r['gnn_hybrid']:.4g} | {opt('gnn_uf')} | {opt('gnn_mwpm')} | "
+                f"{r['gnn_logical']:.4g} | "
+                f"{r['gnn_per_qubit']:.4g} | {r['uf']:.4g} | {opt('bp_osd')} "
+                f"| {opt('mwpm')} |\n"
             )
 
 

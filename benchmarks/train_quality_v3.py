@@ -23,6 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ds", type=int, nargs="+", default=[7, 9, 11])
+    ap.add_argument("--family", default="surface",
+                    help="code family (surface | toric | repetition)")
     ap.add_argument("--steps", type=int, default=8000)
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--hidden", type=int, default=128)
@@ -39,6 +41,12 @@ def main() -> int:
     ap.add_argument("--p-mix", type=float, nargs=2, default=None,
                     metavar=("LO", "HI"),
                     help="per-shot training noise rate ~ Uniform[LO, HI]")
+    ap.add_argument("--backend", default="fused",
+                    help="model backend (fused | pallas; pallas trains "
+                         "through the fused fwd+bwd kernels)")
+    ap.add_argument("--dtype", default="float32",
+                    help="compute dtype (params stay f32; bfloat16 for the "
+                         "pallas kernel path)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -54,11 +62,11 @@ def main() -> int:
     for d in args.ds:
         out = f"{args.out_prefix}{d}"
         cfg = ExperimentConfig(
-            code=CodeConfig(family="surface", distance=d, p=args.p),
+            code=CodeConfig(family=args.family, distance=d, p=args.p),
             model=ModelConfig(
                 hidden=args.hidden, msg_hidden=args.hidden, rounds=args.rounds,
-                backend="fused", readout="both", qubit_head="pauli4",
-                remat=args.remat,
+                backend=args.backend, readout="both", qubit_head="pauli4",
+                remat=args.remat, dtype=args.dtype,
             ),
             train=TrainConfig(
                 batch=args.batch, steps=args.steps, lr=args.lr,

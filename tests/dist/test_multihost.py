@@ -1,9 +1,14 @@
 """Two-process jax.distributed smoke test (SURVEY.md §4.4 multi-host CI).
 
 Launches two CPU processes that initialize the distributed runtime via
-tpugnn.dist.multihost, build the global mesh, and run a cross-process psum.
-Environmental failures (port contention, runtime quirks) skip rather than
-fail — the assertion only fires on wrong numerics from a completed run.
+tpugnn.dist.multihost, build the global mesh, and run a cross-process psum
+plus full sharded train steps (d=5 and the d=15 configs[4] stand-in).
+
+Skip policy [VERDICT r1 item 10]: ONLY a genuine environment-setup failure
+skips — the runtime timing out or dying BEFORE ``multihost.initialize()``
+completed (workers print ``INIT OK`` after it).  Any failure after INIT OK,
+and any numeric mismatch from a completed run, FAILS the test: a broken
+distributed runtime must not read as green.
 """
 
 import os
@@ -24,6 +29,7 @@ _WORKER = textwrap.dedent(
     sys.path.insert(0, {root!r})
     from tpugnn.dist import multihost
     multihost.initialize()
+    print("INIT OK", flush=True)
     import jax.numpy as jnp
     info = multihost.process_info()
     assert info["process_count"] == 2, info
@@ -54,6 +60,40 @@ def _free_port() -> int:
     return port
 
 
+def _communicate_or_skip(procs, *, timeout):
+    """Collect worker outputs; a hang is only a skip if no worker got past
+    initialize() (a post-init hang means the runtime broke mid-run: fail)."""
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=timeout)
+            outs.append((p.returncode, out.decode(), err.decode()))
+    except subprocess.TimeoutExpired:
+        partial = []
+        for p in procs:
+            p.kill()
+            out, err = p.communicate()
+            partial.append((out.decode(), err.decode()))
+        if any("INIT OK" in out for out, _ in partial):
+            raise AssertionError(
+                f"distributed run hung AFTER initialize(): {partial!r}"
+            ) from None
+        pytest.skip("distributed runtime never initialized in this environment")
+    return outs
+
+
+def _gate_env_failure(rc, out, err):
+    """Fail on any post-init error; skip only pre-init environmental ones."""
+    if rc == 0:
+        return
+    pre_init = "INIT OK" not in out
+    env_markers = ("UNAVAILABLE" in err or "DEADLINE" in err
+                   or "bind" in err.lower())
+    if pre_init and env_markers:
+        pytest.skip(f"environmental distributed failure: {err[-200:]}")
+    raise AssertionError(f"worker failed rc={rc}:\n{err[-2000:]}")
+
+
 @pytest.mark.slow
 def test_two_process_distributed(tmp_path):
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -74,20 +114,9 @@ def test_two_process_distributed(tmp_path):
                 env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             )
         )
-    outs = []
-    try:
-        for p in procs:
-            out, err = p.communicate(timeout=180)
-            outs.append((p.returncode, out.decode(), err.decode()))
-    except subprocess.TimeoutExpired:
-        for p in procs:
-            p.kill()
-        pytest.skip("distributed runtime timed out in this environment")
+    outs = _communicate_or_skip(procs, timeout=180)
     for rc, out, err in outs:
-        if rc != 0:
-            if "UNAVAILABLE" in err or "DEADLINE" in err or "bind" in err.lower():
-                pytest.skip(f"environmental distributed failure: {err[-200:]}")
-            raise AssertionError(f"worker failed rc={rc}:\n{err[-2000:]}")
+        _gate_env_failure(rc, out, err)
         assert "RESULT 8.0" in out, out
 
 
@@ -101,25 +130,28 @@ _WORKER_DRYRUN = textwrap.dedent(
     sys.path.insert(0, {root!r})
     from tpugnn.dist import multihost
     multihost.initialize()
+    print("INIT OK", flush=True)
     assert jax.process_count() == 2 and len(jax.devices()) == 4
     from tpugnn.dist.api import dryrun
-    dryrun(4)   # full sharded train step; graph axis spans the processes
+    dryrun(4, distance={distance})  # graph axis spans the processes
     print("MULTIHOST DRYRUN OK")
     """
 )
 
 
 @pytest.mark.slow
-def test_two_process_sharded_train_step(tmp_path):
+@pytest.mark.parametrize("distance", [5, 15])
+def test_two_process_sharded_train_step(tmp_path, distance):
     """Full edge-partitioned train step across two jax.distributed processes.
 
     The ('data', 'graph') mesh spans both processes, so the halo all_to_all
     crosses the process boundary; both workers must print the dryrun's
-    deterministic loss.
+    deterministic loss.  d=15 is the BASELINE configs[4] multi-host
+    stand-in exercised cross-process.
     """
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     port = _free_port()
-    worker = _WORKER_DRYRUN.format(root=root)
+    worker = _WORKER_DRYRUN.format(root=root, distance=distance)
     procs = []
     for pid in range(2):
         env = dict(os.environ)
@@ -135,21 +167,10 @@ def test_two_process_sharded_train_step(tmp_path):
                 env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             )
         )
-    outs = []
-    try:
-        for p in procs:
-            out, err = p.communicate(timeout=540)
-            outs.append((p.returncode, out.decode(), err.decode()))
-    except subprocess.TimeoutExpired:
-        for p in procs:
-            p.kill()
-        pytest.skip("distributed runtime timed out in this environment")
+    outs = _communicate_or_skip(procs, timeout=540)
     losses = []
     for rc, out, err in outs:
-        if rc != 0:
-            if "UNAVAILABLE" in err or "DEADLINE" in err or "bind" in err.lower():
-                pytest.skip(f"environmental distributed failure: {err[-200:]}")
-            raise AssertionError(f"worker failed rc={rc}:\n{err[-2000:]}")
+        _gate_env_failure(rc, out, err)
         assert "MULTIHOST DRYRUN OK" in out, out
         losses.append([ln for ln in out.splitlines() if "loss=" in ln][-1])
     assert losses[0] == losses[1], losses

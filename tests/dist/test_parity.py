@@ -83,7 +83,7 @@ def test_dryrun_all_device_counts(n, devices8):
 
 
 def test_halo_modes_agree(devices8):
-    """gather and boundary-only all_to_all halo exchanges are equivalent."""
+    """gather / all_to_all / ring-ppermute halo exchanges are equivalent."""
     from tpugnn.dist.partition import partition_graph
     from tpugnn.tanner import build_code
 
@@ -94,19 +94,26 @@ def test_halo_modes_agree(devices8):
     b = sample_batch(jax.random.PRNGKey(0), graph, 0.1, 8)
     params = model.init(jax.random.PRNGKey(1), graph, b.syndrome)
     outs = []
-    for halo in ("gather", "alltoall"):
+    for halo in ("gather", "alltoall", "ring"):
         pg = partition_graph(graph, 4, halo=halo)
         apply = make_sharded_apply(model, mesh, pg)
         outs.append(jax.jit(apply)(params, graph, b.syndrome))
-    np.testing.assert_allclose(
-        np.asarray(outs[0].qubit_logits), np.asarray(outs[1].qubit_logits), atol=1e-5
-    )
-    np.testing.assert_allclose(
-        np.asarray(outs[0].logical_logits), np.asarray(outs[1].logical_logits), atol=1e-5
+    for other in outs[1:]:
+        np.testing.assert_allclose(
+            np.asarray(outs[0].qubit_logits), np.asarray(other.qubit_logits),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs[0].logical_logits),
+            np.asarray(other.logical_logits), atol=1e-5,
+        )
+    # alltoall and ring use identical send tables and must match exactly
+    np.testing.assert_array_equal(
+        np.asarray(outs[1].qubit_logits), np.asarray(outs[2].qubit_logits)
     )
 
 
-@pytest.mark.parametrize("halo", ["gather", "alltoall"])
+@pytest.mark.parametrize("halo", ["gather", "alltoall", "ring"])
 def test_edge_attr_parity(halo, devices8):
     """Per-edge attributes reach the message fn identically on both paths."""
     from jax.sharding import PartitionSpec as P

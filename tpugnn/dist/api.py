@@ -110,14 +110,22 @@ def _pick_mesh_shape(n_devices: int) -> MeshConfig:
     return MeshConfig(data=n_devices // graph_ax, graph=graph_ax)
 
 
-def dryrun(n_devices: int) -> None:
-    """Compile + run ONE sharded training step on tiny shapes (driver hook)."""
+def dryrun(n_devices: int, *, distance: int = 5, family: str = "surface",
+           hidden: int = 16, rounds: int = 2, halo: str = "alltoall") -> None:
+    """Compile + run ONE sharded training step on tiny shapes (driver hook).
+
+    ``distance`` parameterizes the scale demonstration: d=15+ exercises the
+    BASELINE configs[4] multi-host stand-in graph on a virtual CPU mesh
+    (tests/dist/test_parity.py runs d=15 x 8 shards; benchmarks/d15_sizing.py
+    records the memory budget).
+    """
     mcfg = _pick_mesh_shape(n_devices)
     mesh = make_mesh(mcfg, n_devices=n_devices)
-    graph, pgraph = build_partitioned_code("surface", 5, mcfg.graph)
+    graph, pgraph = build_partitioned_code(family, distance, mcfg.graph,
+                                           halo=halo)
     cfg = ExperimentConfig(
-        code=CodeConfig(family="surface", distance=5, p=0.05),
-        model=ModelConfig(hidden=16, msg_hidden=16, rounds=2),
+        code=CodeConfig(family=family, distance=distance, p=0.05),
+        model=ModelConfig(hidden=hidden, msg_hidden=hidden, rounds=rounds),
         train=TrainConfig(batch=max(8, 2 * mcfg.data), steps=1, warmup_steps=1),
     )
     from tpugnn.train.loop import init_state

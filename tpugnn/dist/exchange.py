@@ -113,21 +113,57 @@ def _halo_exchange(x_local, send_idx, send_mask, axis):
     return recv.reshape(recv.shape[:-3] + (p * h, recv.shape[-1]))
 
 
+def _halo_exchange_ring(x_local, send_idx, send_mask, axis):
+    """Ring ``ppermute`` variant of the boundary exchange.
+
+    Same per-peer send tables (and bit-identical results) as the
+    all_to_all path, decomposed into P-1 cyclic shifts: the slice destined
+    for the distance-j peer moves in one ``ppermute`` with permutation
+    i -> (i+j) mod P.  Every shift is a cyclic rotation, which maps onto a
+    physical ring/torus ICI as nearest-neighbor traffic — the fallback when
+    a single all-to-all's fan-out exceeds the ICI bisection [SURVEY.md §2.3
+    "ring-style ppermute variant", §2.4 collectives list].
+    """
+    p, h = send_idx.shape
+    send = jnp.take(x_local, send_idx.reshape(-1), axis=-2)
+    send = send * send_mask.reshape(-1)[:, None]
+    send = send.reshape(send.shape[:-2] + (p, h, send.shape[-1]))
+    ax_pos = send.ndim - 3  # the per-peer axis
+    me = jax.lax.axis_index(axis)
+    recv = jnp.zeros_like(send)
+    # distance 0: my own slice addressed to myself (normally all-masked)
+    own = jax.lax.dynamic_index_in_dim(send, me, axis=ax_pos, keepdims=True)
+    recv = jax.lax.dynamic_update_slice_in_dim(recv, own, me, axis=ax_pos)
+    for j in range(1, p):
+        dst_peer = jax.lax.rem(me + j, p)          # whom my j-shift reaches
+        src_peer = jax.lax.rem(me - j + p, p)      # who reaches me
+        sl = jax.lax.dynamic_index_in_dim(send, dst_peer, axis=ax_pos,
+                                          keepdims=True)
+        got = jax.lax.ppermute(
+            sl, axis, perm=[(i, (i + j) % p) for i in range(p)]
+        )
+        recv = jax.lax.dynamic_update_slice_in_dim(recv, got, src_peer,
+                                                   axis=ax_pos)
+    return recv.reshape(recv.shape[:-3] + (p * h, recv.shape[-1]))
+
+
 def _alltoall_round(view, state, message_to_qubit, message_to_check,
                     update_check, update_qubit, aggr, edge_attr=None):
     """Boundary-only halo exchange with interior/boundary overlap.
 
-    The all_to_all consumes only boundary node features; interior messages
+    The collective consumes only boundary node features; interior messages
     depend solely on local data, so XLA schedules the collective
     asynchronously against the interior aggregation (SURVEY.md §7 hard-part
-    #3 — verify in the profiler, not by assumption).
+    #3 — verify in the profiler, not by assumption).  ``view.halo`` picks
+    the collective: one all_to_all, or the ring ppermute decomposition.
     """
     from tpugnn.mp.propagate import NodeStates
 
     ax = view.mesh_axis
+    exchange = _halo_exchange_ring if view.halo == "ring" else _halo_exchange
     # kick off both exchanges first so they overlap interior compute
-    q_halo = _halo_exchange(state.qubit, view.qsend_idx, view.qsend_mask, ax)
-    c_halo = _halo_exchange(state.check, view.csend_idx, view.csend_mask, ax)
+    q_halo = exchange(state.qubit, view.qsend_idx, view.qsend_mask, ax)
+    c_halo = exchange(state.check, view.csend_idx, view.csend_mask, ax)
 
     # interior (purely local)
     xc_i = jnp.take(state.check, view.ci_dst, axis=-2)
@@ -184,10 +220,11 @@ def sharded_bipartite_round(
 
     ``view.halo`` selects the exchange strategy: 'alltoall' sends only
     boundary node features (all_to_all over ICI, overlapped with interior
-    aggregation); 'gather' all_gathers full node blocks (simple fallback;
-    also used for max aggregation).
+    aggregation); 'ring' sends the same boundary slices as P-1 cyclic
+    ppermute shifts (ring-ICI fallback); 'gather' all_gathers full node
+    blocks (simple fallback; also used for max aggregation).
     """
-    if view.halo == "alltoall" and aggr in ("sum", "mean"):
+    if view.halo in ("alltoall", "ring") and aggr in ("sum", "mean"):
         return _alltoall_round(
             view, state, message_to_qubit, message_to_check,
             update_check, update_qubit, aggr, edge_attr,

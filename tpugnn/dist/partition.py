@@ -301,7 +301,7 @@ def partition_graph(
 
     halo_fields: dict = {"halo": halo, "c_eid": jnp.asarray(c_eid),
                          "q_eid": jnp.asarray(q_eid)}
-    if halo == "alltoall":
+    if halo in ("alltoall", "ring"):  # ring reuses the per-peer send tables
         (ci_d, ci_s, ci_m, cb_d, cb_s, cb_m, qs_i, qs_m, hq,
          ci_e, cb_e) = _halo_tables(ec, eq, n_parts, mb, nb)
         (qi_d, qi_s, qi_m, qb_d, qb_s, qb_m, cs_i, cs_m, hc,
@@ -316,7 +316,8 @@ def partition_graph(
             csend_idx=cs_i, csend_mask=cs_m,
         )
     elif halo != "gather":
-        raise ValueError(f"unknown halo mode {halo!r}; have 'gather'|'alltoall'")
+        raise ValueError(
+            f"unknown halo mode {halo!r}; have 'gather'|'alltoall'|'ring'")
 
     return PartitionedGraph(
         name=graph.name + f"_p{n_parts}", n_parts=n_parts, mesh_axis=mesh_axis,
@@ -343,5 +344,6 @@ def build_partitioned_code(
 
     pad = kw.pop("pad_nodes", 8)
     pad = _round_up(pad * n_parts, 8)
+    halo = kw.pop("halo", "alltoall")
     graph = build_code(family, distance, pad_nodes=pad, **kw)
-    return graph, partition_graph(graph, n_parts)
+    return graph, partition_graph(graph, n_parts, halo=halo)

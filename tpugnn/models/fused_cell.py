@@ -53,11 +53,14 @@ class _FusedMessage(nn.Module):
 
         h, mh = self.hidden, self.msg_hidden
         dt = self.dtype
-        w_dst = self.param("w_dst", nn.initializers.lecun_normal(), (h, mh), dt)
-        w_src = self.param("w_src", nn.initializers.lecun_normal(), (h, mh), dt)
-        b0 = self.param("b0", nn.initializers.zeros_init(), (mh,), dt)
-        w_out = self.param("w_out", nn.initializers.lecun_normal(), (mh, h), dt)
-        b_out = self.param("b_out", nn.initializers.zeros_init(), (h,), dt)
+        # params live in f32 regardless of compute dtype (bf16 master weights
+        # break optimizer state + f32-checkpoint restore); cast at use
+        f32 = jnp.float32
+        w_dst = self.param("w_dst", nn.initializers.lecun_normal(), (h, mh), f32).astype(dt)
+        w_src = self.param("w_src", nn.initializers.lecun_normal(), (h, mh), f32).astype(dt)
+        b0 = self.param("b0", nn.initializers.zeros_init(), (mh,), f32).astype(dt)
+        w_out = self.param("w_out", nn.initializers.lecun_normal(), (mh, h), f32).astype(dt)
+        b_out = self.param("b_out", nn.initializers.zeros_init(), (h,), f32).astype(dt)
 
         gather = self.gather
         if gather == "auto":

@@ -32,6 +32,10 @@ class CheckpointManager:
             int(state.step), args=ocp.args.StandardSave(jax.tree.map(lambda x: x, state))
         )
 
+    def latest_step(self) -> Optional[int]:
+        """Newest saved step number, or None (no restore; cheap metadata read)."""
+        return self._mgr.latest_step()
+
     def restore_latest(self, template):
         """Restore the newest checkpoint shaped like ``template`` (or None)."""
         step = self._mgr.latest_step()
