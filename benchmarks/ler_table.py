@@ -160,12 +160,10 @@ def main() -> int:
         # on TPU, decode through the production Pallas inference engine
         # (parity-tested twin of the 'fused' flax backend, ~5x faster);
         # CPU keeps the XLA path (Pallas interpret mode is far slower).
-        # Mosaic can't lower the kernel's [rows, TB, MH] -> [rows, TB*MH]
-        # shape cast unless MH is a lane multiple, so narrow models
-        # (hidden 64/96 checkpoints) stay on XLA.
-        if (jax.default_backend() == "tpu"
-                and cfg.model.hidden % 128 == 0
-                and cfg.model.msg_hidden % 128 == 0):
+        # Narrow message widths (hidden 64/96 checkpoints) are zero-padded
+        # to the 128 lane dim inside the kernel (pad_msg_width; H=96
+        # hardware probe validated), so no width gate remains.
+        if jax.default_backend() == "tpu":
             from tpugnn.models.pallas_decoder import PallasDecoder
 
             apply_fn = PallasDecoder(cfg.model, k=graph.k).apply

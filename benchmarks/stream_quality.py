@@ -67,6 +67,9 @@ def main() -> int:
         gnn_stream = SlidingWindowDecoder.from_gnn(
             family, d, window=window, commit=args.commit,
             apply_fn=model.apply, params=restored.params)
+        gnn_clean = SlidingWindowDecoder.from_gnn_cleanup(
+            family, d, window=window, commit=args.commit,
+            apply_fn=model.apply, params=restored.params)
         uf_stream = SlidingWindowDecoder.from_union_find(
             family, d, window=window, commit=args.commit)
         uf_mono = SlidingWindowDecoder.from_union_find(
@@ -74,6 +77,8 @@ def main() -> int:
         for p in args.ps:
             g = stream_ler(gnn_stream, p=p, rounds=total, shots=args.shots,
                            seed=11, batch=args.batch)
+            gc = stream_ler(gnn_clean, p=p, rounds=total, shots=args.shots,
+                            seed=11, batch=args.batch)
             u = stream_ler(uf_stream, p=p, rounds=total, shots=args.shots,
                            seed=11, batch=args.batch)
             um = stream_ler(uf_mono, p=p, rounds=total, shots=args.shots,
@@ -81,7 +86,8 @@ def main() -> int:
             print(json.dumps({
                 "family": family, "d": d, "window": window,
                 "commit": args.commit, "total_rounds": total, "p": p,
-                "gnn_stream": g["ler"], "uf_stream": u["ler"],
+                "gnn_stream": g["ler"], "gnn_uf_stream": gc["ler"],
+                "uf_stream": u["ler"],
                 "uf_monolithic": um["ler"], "stderr": g["ler_stderr"],
                 "shots": args.shots,
             }), flush=True)

@@ -142,3 +142,55 @@ def test_mwpm_window_decoder():
                                              commit=2),
         p=0.04, rounds=8, shots=400, seed=3)
     assert mw["ler"] <= uf["ler"] + 3 * uf["ler_stderr"]
+
+
+def test_gnn_cleanup_adapter_closed_gate_equals_uf():
+    """from_gnn_cleanup with the confidence gate closed (tau > 1) commits
+    exactly the union-find window corrections — streams must match."""
+    import jax
+
+    from tpugnn.configs import ModelConfig
+    from tpugnn.models import GNNDecoder
+
+    dec_uf = SlidingWindowDecoder.from_union_find(
+        "repetition", 3, window=3, commit=1)
+    cfg = ModelConfig(hidden=8, msg_hidden=8, rounds=2, backend="segment",
+                      readout="per_qubit")
+    model = GNNDecoder(cfg, k=dec_uf.graph.k)
+    params = model.init(jax.random.PRNGKey(0), dec_uf.graph,
+                        np.zeros((2, dec_uf.graph.n_checks_pad), np.float32))
+    dec = SlidingWindowDecoder.from_gnn_cleanup(
+        "repetition", 3, window=3, commit=1,
+        apply_fn=model.apply, params=params, tau=1.5)
+    s_hat, _ = sample_stream(np.random.default_rng(1), "repetition", 3,
+                             p=0.1, rounds=5, batch=8)
+    np.testing.assert_array_equal(
+        dec.decode_stream(s_hat), dec_uf.decode_stream(s_hat))
+
+
+def test_gnn_cleanup_stream_is_syndrome_consistent():
+    """Even an untrained GNN's cleanup-hybrid windows commit corrections
+    whose net residual is syndrome-free on fault-free final rounds."""
+    import jax
+
+    from tpugnn.configs import ModelConfig
+    from tpugnn.models import GNNDecoder
+    from tpugnn.streaming import stream_ler
+
+    dec0 = SlidingWindowDecoder.from_union_find(
+        "repetition", 5, window=3, commit=1)
+    cfg = ModelConfig(hidden=8, msg_hidden=8, rounds=2, backend="segment",
+                      readout="per_qubit")
+    model = GNNDecoder(cfg, k=dec0.graph.k)
+    params = model.init(jax.random.PRNGKey(2), dec0.graph,
+                        np.zeros((2, dec0.graph.n_checks_pad), np.float32))
+    dec = SlidingWindowDecoder.from_gnn_cleanup(
+        "repetition", 5, window=3, commit=1,
+        apply_fn=model.apply, params=params)
+    h = dec.h
+    s_hat, e_net = sample_stream(np.random.default_rng(3), "repetition", 5,
+                                 p=0.05, rounds=7, batch=32)
+    res = e_net ^ dec.decode_stream(s_hat)
+    # every committed window was cleaned to consistency, so the net
+    # correction reproduces the final (perfect-round) syndrome exactly
+    assert not ((res @ h.T) % 2).any()

@@ -55,11 +55,11 @@ class DecodeEngine:
             use_pallas = jax.default_backend() == "tpu"
         mcfg = cfg.model
         # the Pallas fast path consumes the 'fused'-backend parameter layout;
-        # Mosaic needs the message width to be a lane multiple (128) for the
-        # kernel's [rows, TB, MH] -> [rows, TB*MH] shape casts
+        # narrow message widths are zero-padded to the 128 lane dim inside
+        # the kernel (fused_decoder.pad_msg_width, bit-exact; H=96 hardware
+        # probe runs/probe_narrow_h96.json validates the lowering)
         if use_pallas and mcfg.weight_tied and mcfg.aggr == "sum" and \
-                mcfg.backend == "fused" and mcfg.hidden % 128 == 0 and \
-                mcfg.msg_hidden % 128 == 0:
+                mcfg.backend == "fused":
             from tpugnn.models.pallas_decoder import PallasDecoder
 
             apply_fn = PallasDecoder(mcfg, k=self.graph.k).apply

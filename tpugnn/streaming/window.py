@@ -118,6 +118,60 @@ class SlidingWindowDecoder:
         return self
 
     @classmethod
+    def from_gnn_cleanup(cls, family, distance, *, window, commit, apply_fn,
+                         params, sector: str = "z", cleanup: str = "uf",
+                         tau: Optional[float] = None,
+                         p: Optional[float] = None,
+                         **kw) -> "SlidingWindowDecoder":
+        """Window decoder = GNN + classical cleanup of the residual window
+        syndrome (tpugnn.eval.hybrid applied per window).
+
+        Raw per-qubit GNN corrections are frequently syndrome-INconsistent;
+        committing them poisons the re-referenced frame of every later
+        window.  Cleaning each window's residual with union-find/MWPM makes
+        every committed correction consistent by construction — the
+        streaming analog of eval.hybrid.ler_gnn_cleanup.
+        """
+        self = cls(family, distance, window=window, commit=commit,
+                   sector=sector, **kw)
+
+        import jax
+        import jax.numpy as jnp
+
+        from tpugnn.eval.hybrid import _gated_corrections
+        from tpugnn.sampling.noise import syndrome as syn_of
+
+        graph = self.graph
+
+        @jax.jit
+        def _fwd(syn):
+            out = apply_fn(params, graph, syn)
+            ex, ez = _gated_corrections(out.qubit_logits, tau)
+            s_res = jnp.mod(syn + syn_of(graph, ex, ez), 2.0)
+            return ex, s_res
+
+        if cleanup == "uf":
+            from tpugnn.baselines.union_find import UnionFindDecoder
+
+            dec = UnionFindDecoder(graph)
+        elif cleanup == "mwpm":
+            from tpugnn.baselines.mwpm import MWPMDecoder
+
+            dec = MWPMDecoder(graph, p=p)
+        else:
+            raise ValueError(f"unknown cleanup decoder {cleanup!r}")
+
+        def _decode(d):
+            ex_g, s_res = _fwd(np.asarray(d, np.float32))
+            ex_u, _ = dec.decode(np.asarray(s_res))
+            cols = ex_u.shape[1]
+            return np.asarray(ex_g)[:, :cols].astype(np.uint8) ^ \
+                ex_u.astype(np.uint8)
+
+        self._decode_window = _decode
+        return self
+
+    @classmethod
     def from_union_find(cls, family, distance, *, window, commit,
                         sector: str = "z", **kw) -> "SlidingWindowDecoder":
         """Window decoder = the classical union-find baseline (exact tests)."""
