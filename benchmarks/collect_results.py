@@ -44,7 +44,13 @@ def main() -> int:
 
     out.append("## Logical error rate\n")
     out.append("See `benchmarks/LER_TABLE.md` (1M-shot Monte-Carlo, GNN vs "
-               "union-find vs BP+OSD-0 vs exact MWPM).\n")
+               "union-find vs BP+OSD-0 vs exact MWPM, plus the GNN+UF / "
+               "GNN+MWPM residual-cleanup hybrids).\n")
+    for extra, title in (("benchmarks/LER_TORIC.md", "toric-code table"),
+                         ("benchmarks/LER_D11_P001.md",
+                          "d=11 p=0.01 high-shot resolution")):
+        if os.path.exists(os.path.join(ROOT, extra)):
+            out.append(f"Also: `{extra}` ({title}).\n")
 
     tp = _jsonl("runs/decoder_throughput.json")
     if tp:
@@ -90,15 +96,44 @@ def main() -> int:
     sq = _jsonl("runs/stream_quality.json")
     if sq:
         out.append("## Streaming decode quality (GNN windows vs union-find)\n")
-        out.append("| family | d | W/C | T | p | GNN stream | UF stream | "
-                   "UF monolithic |\n|---|---|---|---|---|---|---|---|\n")
+        out.append("| family | d | W/C | T | p | GNN stream | GNN+UF stream "
+                   "| UF stream | UF monolithic |\n"
+                   "|---|---|---|---|---|---|---|---|---|\n")
         for r in sq:
             if "gnn_stream" in r:
+                gc = r.get("gnn_uf_stream")
                 out.append(
                     f"| {r['family']} | {r['d']} | {r['window']}/{r['commit']} "
                     f"| {r['total_rounds']} | {r['p']} | {r['gnn_stream']:.4g} "
+                    f"| {'—' if gc is None else f'{gc:.4g}'} "
                     f"| {r['uf_stream']:.4g} | {r['uf_monolithic']:.4g} |\n")
         out.append("\n")
+
+    try:
+        with open(os.path.join(ROOT, "runs/d15_dryrun.json")) as f:
+            d15 = json.load(f)
+    except (OSError, ValueError):
+        d15 = None
+    if d15:
+        out.append("## d=15+ scale demonstration (configs[4] stand-in)\n")
+        out.append("Sharded train step on an 8-virtual-device CPU mesh "
+                   "(`benchmarks/d15_sizing.py`):\n")
+        for r in d15.get("runs", []):
+            out.append(f"- d={r['distance']} halo={r['halo']}: ok "
+                       f"({r['wall_s']}s, mesh {r['mesh']})\n")
+        out.append("\nHBM budget (flagship B=4096, H=128, R=14, 16 GiB v5e):\n")
+        out.append("| d | rows | decode GiB | train GiB | fits |\n"
+                   "|---|---|---|---|---|\n")
+        for r in d15.get("hbm_budget", []):
+            out.append(f"| {r['d']} | {r['rows_padded']} | "
+                       f"{r['decode_hbm_gib']} | {r['train_total_hbm_gib']} | "
+                       f"{'yes' if r['fits_16gib_train'] else 'decode only'} |\n")
+        out.append("\n")
+
+    if os.path.exists(os.path.join(ROOT, "docs", "OVERLAP.md")):
+        out.append("## Collective/compute overlap\n")
+        out.append("Scheduled-HLO verification of halo-exchange overlap on "
+                   "an abstract v5e-8 topology: `docs/OVERLAP.md`.\n")
 
     # quality-run finals from the training logs
     finals = [r for r in _jsonl("runs/train_quality_v3.log") if "final" in r]

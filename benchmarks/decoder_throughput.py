@@ -41,6 +41,12 @@ def main() -> int:
                          "the last bench.py output")
     ap.add_argument("--gnn-json", default=None,
                     help="bench.py output to quote the GNN number from")
+    ap.add_argument("--hybrid-ckpt", default=None,
+                    help="checkpoint dir: also time the GNN+UF cleanup "
+                         "hybrid end-to-end (device forward + host union-"
+                         "find on the residual syndrome)")
+    ap.add_argument("--hybrid-spec", default="128:14",
+                    help="hidden:rounds of the --hybrid-ckpt model")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -139,6 +145,47 @@ def main() -> int:
                          "batch": b["batch"], "source": path})
         except Exception as e:
             print(f"no GNN bench output to quote ({e})", file=sys.stderr)
+
+    # ---- GNN + union-find cleanup hybrid (end-to-end) ----------------------
+    if args.hybrid_ckpt:
+        import jax.numpy as jnp
+
+        from tpugnn.configs import CodeConfig, ExperimentConfig, ModelConfig
+        from tpugnn.eval.hybrid import gnn_cleanup_corrections
+        from tpugnn.models.pallas_decoder import PallasDecoder
+        from tpugnn.train.checkpoint import CheckpointManager
+        from tpugnn.train.loop import init_state
+        from tpugnn.utils.timing import hard_sync
+
+        hidden, rounds = (int(x) for x in args.hybrid_spec.split(":"))
+        cfg = ExperimentConfig(
+            code=CodeConfig(family=args.family, distance=args.d),
+            model=ModelConfig(hidden=hidden, msg_hidden=hidden,
+                              rounds=rounds, backend="fused",
+                              qubit_head="pauli4"),
+        )
+        state, model = init_state(cfg, graph)
+        restored = CheckpointManager(args.hybrid_ckpt).restore_latest(state)
+        if restored is None:
+            print(f"no checkpoint in {args.hybrid_ckpt}", file=sys.stderr)
+        else:
+            apply_fn = (PallasDecoder(cfg.model, k=graph.k).apply
+                        if jax.default_backend() == "tpu" else model.apply)
+            sj = jnp.asarray(syn, jnp.float32)
+            gnn_cleanup_corrections(apply_fn, restored.params, graph, sj, uf)
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(5):
+                    out = gnn_cleanup_corrections(
+                        apply_fn, restored.params, graph, sj, uf)
+                ts.append((time.perf_counter() - t0) / 5)
+            t = statistics.median(ts)
+            rows.append({
+                "decoder": f"gnn_uf_hybrid_{jax.default_backend()}",
+                "shots_per_s": round(args.batch / t, 1),
+                "batch": args.batch, "ckpt": args.hybrid_ckpt,
+            })
 
     for r in rows:
         print(json.dumps(r), flush=True)

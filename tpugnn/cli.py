@@ -114,6 +114,14 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--baseline", action="store_true",
                             help="also report union-find + exact-MWPM "
                                  "decoder LER per p")
+        if name in ("eval", "sweep"):
+            sp.add_argument("--cleanup", choices=["uf", "mwpm"], default=None,
+                            help="also report the GNN+cleanup hybrid LER "
+                                 "(per-qubit correction + classical repair "
+                                 "of the residual syndrome)")
+            sp.add_argument("--tau", type=float, default=None,
+                            help="confidence gate for --cleanup (keep GNN "
+                                 "flips with posterior max-prob >= tau)")
         if name == "serve":
             sp.add_argument("--in", dest="infile", default=None,
                             help=".npy uint8 [B, m] syndromes (default: "
@@ -221,6 +229,15 @@ def main(argv: list[str] | None = None) -> int:
             row = {"family": cfg.code.family, "d": cfg.code.distance,
                    "p": p, **{k: ev[k] for k in ("ler", "ler_stderr", "shots")},
                    **({"ler_logical": ev["ler_logical"]} if "ler_logical" in ev else {})}
+            if getattr(args, "cleanup", None):
+                from tpugnn.eval.hybrid import ler_gnn_cleanup
+
+                hy = ler_gnn_cleanup(
+                    model.apply, state.params, graph, p=p, shots=args.shots,
+                    batch=min(args.shots, 4096), cleanup=args.cleanup,
+                    tau=args.tau,
+                    key=jax.random.PRNGKey(cfg.train.seed + 99))
+                row[f"gnn_{args.cleanup}_ler"] = hy["ler"]
             if getattr(args, "baseline", False):
                 from tpugnn.eval.baseline import ler_mwpm, ler_union_find
 

@@ -111,11 +111,16 @@ def ler_monte_carlo(
 
     n_chunks = max(1, (shots + batch - 1) // batch)
     total = {}
+    # accumulate on-device and read back ONCE: float() per chunk would
+    # hard-sync every iteration (tunnel completion-poll ~30 ms each — ~7 s
+    # of pure client overhead per 1M-shot point, PERF_NOTES); async
+    # dispatch keeps the chip busy across chunk boundaries instead
     for i in range(n_chunks):
         key, sub = jax.random.split(key)
         c = chunk(params, sub, p, batch)
         for k, v in c.items():
-            total[k] = total.get(k, 0.0) + float(v)
+            total[k] = total[k] + v if k in total else v
+    total = {k: float(v) for k, v in total.items()}
     n = n_chunks * batch
     out = {f"{k}_rate": v / n for k, v in total.items()}
     ler = out.get("fail_qubit_rate", 0.0)

@@ -43,6 +43,8 @@ class DecodeEngine:
         max_batch: int = 4096,
         use_pallas: Optional[bool] = None,
         data_parallel: Optional[int] = None,
+        cleanup: Optional[str] = None,
+        cleanup_tau: Optional[float] = None,
     ):
         self.cfg = cfg
         self.graph = graph if graph is not None else build_code(
@@ -67,10 +69,40 @@ class DecodeEngine:
             apply_fn = GNNDecoder(mcfg, k=self.graph.k).apply
         graph_ = self.graph
 
-        def _decode(params, syndrome):
-            out = apply_fn(params, graph_, syndrome)
-            ex, ez = decode_corrections(out.qubit_logits)
-            return jnp.stack([ex, ez], axis=-1)
+        # optional GNN + classical-cleanup hybrid serving (the deployed
+        # form of tpugnn.eval.hybrid): the jitted program also emits the
+        # residual syndrome; union-find/MWPM repairs it host-side and the
+        # combined correction is syndrome-consistent by construction
+        self._cleanup_dec = None
+        if cleanup is not None:
+            if cleanup == "uf":
+                from tpugnn.baselines.union_find import UnionFindDecoder
+
+                self._cleanup_dec = UnionFindDecoder(self.graph)
+            elif cleanup == "mwpm":
+                from tpugnn.baselines.mwpm import MWPMDecoder
+
+                self._cleanup_dec = MWPMDecoder(self.graph, p=cfg.code.p)
+            else:
+                raise ValueError(f"unknown cleanup decoder {cleanup!r}")
+
+        if cleanup is None:
+            def _decode(params, syndrome):
+                out = apply_fn(params, graph_, syndrome)
+                ex, ez = decode_corrections(out.qubit_logits)
+                return jnp.stack([ex, ez], axis=-1)
+        else:
+            from tpugnn.eval.hybrid import _gated_corrections
+            from tpugnn.sampling.noise import syndrome as _syn_of
+
+            def _decode(params, syndrome):
+                out = apply_fn(params, graph_, syndrome)
+                ex, ez = _gated_corrections(out.qubit_logits, cleanup_tau)
+                s_res = jnp.mod(syndrome + _syn_of(graph_, ex, ez), 2.0)
+                s2 = jnp.stack([s_res, jnp.zeros_like(s_res)], axis=-1)
+                return jnp.concatenate(
+                    [jnp.stack([ex, ez], axis=-1), s2], axis=1
+                )  # [B, n_pad + m_pad, 2]
 
         if data_parallel and data_parallel > 1:
             # data-parallel serving: the request batch shards over a 1-D
@@ -137,4 +169,14 @@ class DecodeEngine:
             out = np.asarray(self._decode(self.params, jnp.asarray(chunk)))
             outs.append(out[:nb])
         full = np.concatenate(outs, axis=0).astype(np.uint8)
-        return full[:, : self.graph.n_qubits, :]
+        n_pad = self.graph.n_qubits_pad
+        n = self.graph.n_qubits
+        if self._cleanup_dec is None:
+            return full[:, :n, :]
+        corr = full[:, :n_pad, :]
+        s_res = full[:, n_pad : n_pad + m_pad, 0]
+        ex_u, ez_u = self._cleanup_dec.decode(s_res)
+        corr = corr[:, :n, :].copy()
+        corr[:, :, 0] ^= ex_u.astype(np.uint8)
+        corr[:, :, 1] ^= ez_u.astype(np.uint8)
+        return corr
