@@ -51,7 +51,10 @@ run_job() {
 
 # training job with a metrics-stall watchdog: kill + resume-from-checkpoint
 # if the metrics file stops advancing for 40 min while the process is alive
-# and not bench-paused (eval cadence is ~5 min on the kernel path)
+# and not bench-paused (eval cadence is ~5 min on the kernel path).  The
+# first-metrics grace is 100 min: the R=14 fused fwd+bwd Mosaic compile
+# alone can take ~30-60 min through the tunnel (cached for restarts via
+# JAX_COMPILATION_CACHE_DIR).
 train_watchdog() {
   local metrics=$1; shift
   local attempt
@@ -74,7 +77,7 @@ train_watchdog() {
       now=$(date +%s)
       ref=$(stat -c %Y "$metrics" 2>/dev/null || echo "$born")
       age=$((now - ref))
-      if [ "$age" -gt 2400 ] && [ $((now - born)) -gt 2400 ]; then
+      if [ "$age" -gt 2400 ] && [ $((now - born)) -gt 6000 ]; then
         echo "== train stalled (metrics idle ${age}s), killing pid $pid ==" \
           | tee -a "$LOG"
         kill "$pid" 2>/dev/null
