@@ -136,3 +136,65 @@ def test_update_fn_applied():
     np.testing.assert_allclose(
         np.asarray(with_upd), np.asarray(xc + 2.0 * base), atol=1e-5
     )
+
+
+class TestMessagePassingAdapter:
+    """PyG-style class API maps exactly onto the functional engine."""
+
+    def _setup(self):
+        import jax
+
+        graph = build_code("surface", 3)
+        key = jax.random.PRNGKey(0)
+        kc, kq = jax.random.split(key)
+        f = 8
+        xc = jax.random.normal(kc, (graph.n_checks_pad, f)) * graph.check_mask[:, None]
+        xq = jax.random.normal(kq, (graph.n_qubits_pad, f)) * graph.qubit_mask[:, None]
+        return graph, xc, xq
+
+    def test_matches_functional_propagate(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from tpugnn.mp import MessagePassing, propagate
+
+        graph, xc, xq = self._setup()
+
+        class L(MessagePassing):
+            def message(self, x_i, x_j, edge_attr):
+                return jnp.tanh(x_i + 2.0 * x_j)
+
+            def update(self, aggr_out, x):
+                return x + aggr_out
+
+        got = L(aggr="sum", flow="qubit->check")(graph, xc, xq)
+        # functional twin: for to='check', dst endpoint is the check
+        want = propagate(
+            graph, xc, xq,
+            lambda xc_e, xq_e, ea: jnp.tanh(xc_e + 2.0 * xq_e),
+            to="check", aggr="sum", update_fn=lambda old, agg: old + agg,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    def test_flow_direction_and_defaults(self):
+        import numpy as np
+
+        from tpugnn.mp import MessagePassing, propagate
+
+        graph, xc, xq = self._setup()
+        got = MessagePassing(flow="check->qubit")(graph, xc, xq)
+        want = propagate(graph, xc, xq,
+                         lambda xc_e, xq_e, ea: xc_e,  # x_j = source = check
+                         to="qubit", aggr="sum")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+        assert got.shape == xq.shape
+
+    def test_bad_args_raise(self):
+        import pytest
+
+        from tpugnn.mp import MessagePassing
+
+        with pytest.raises(ValueError, match="aggr"):
+            MessagePassing(aggr="median")
+        with pytest.raises(ValueError, match="flow"):
+            MessagePassing(flow="sideways")

@@ -6,9 +6,10 @@ from tpugnn.mp.aggregate import (
     aggregate_to_qubits,
     gather_endpoints,
 )
+from tpugnn.mp.message_passing import MessagePassing
 from tpugnn.mp.propagate import NodeStates, bipartite_round, propagate
 
 __all__ = [
-    "BACKENDS", "NodeStates", "aggregate_to_checks", "aggregate_to_qubits",
-    "bipartite_round", "gather_endpoints", "propagate",
+    "BACKENDS", "MessagePassing", "NodeStates", "aggregate_to_checks",
+    "aggregate_to_qubits", "bipartite_round", "gather_endpoints", "propagate",
 ]
