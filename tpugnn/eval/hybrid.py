@@ -24,7 +24,7 @@ pure classical baselines in :mod:`tpugnn.eval.baseline`.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache
 from typing import Callable
 
 import jax
@@ -36,6 +36,37 @@ from tpugnn.sampling.noise import sample_batch
 from tpugnn.tanner.graph import TannerGraph
 
 __all__ = ["gnn_cleanup_corrections", "ler_gnn_cleanup"]
+
+
+@lru_cache(maxsize=64)
+def _sample_fwd_fn(apply_fn: Callable, tau: float | None, batch: int):
+    """Jitted sample+forward+residual chunk, cached across calls so an LER
+    sweep compiles once per decoder (graph and p are traced arguments)."""
+    from tpugnn.sampling.noise import syndrome as syn_of
+
+    @jax.jit
+    def sample_fwd(params, graph, k, p_):
+        b = sample_batch(k, graph, p_, batch)
+        out = apply_fn(params, graph, b.syndrome)
+        ex_g, ez_g = _gated_corrections(out.qubit_logits, tau)
+        s_res = jnp.mod(b.syndrome + syn_of(graph, ex_g, ez_g), 2.0)
+        return b.ex, b.ez, ex_g, ez_g, s_res
+
+    return sample_fwd
+
+
+@lru_cache(maxsize=64)
+def _fwd_fn(apply_fn: Callable, tau: float | None):
+    from tpugnn.sampling.noise import syndrome as syn_of
+
+    @jax.jit
+    def fwd(params, graph, syn):
+        out = apply_fn(params, graph, syn)
+        ex_g, ez_g = _gated_corrections(out.qubit_logits, tau)
+        s_res = jnp.mod(syn + syn_of(graph, ex_g, ez_g), 2.0)
+        return ex_g, ez_g, s_res
+
+    return fwd
 
 
 def _gated_corrections(qubit_logits: jnp.ndarray, tau: float | None):
@@ -69,18 +100,8 @@ def gnn_cleanup_corrections(
     the unpadded ``n_qubits`` (UnionFindDecoder / MWPMDecoder API).
     Returns host uint8 arrays (ex_hat, ez_hat) of shape [B, n_qubits].
     """
-    from tpugnn.sampling.noise import syndrome as syn_of
-
     n = graph.n_qubits
-
-    @jax.jit
-    def fwd(params, syn):
-        out = apply_fn(params, graph, syn)
-        ex_g, ez_g = _gated_corrections(out.qubit_logits, tau)
-        s_res = jnp.mod(syn + syn_of(graph, ex_g, ez_g), 2.0)
-        return ex_g, ez_g, s_res
-
-    ex_g, ez_g, s_res = fwd(params, syndrome_batch)
+    ex_g, ez_g, s_res = _fwd_fn(apply_fn, tau)(params, graph, syndrome_batch)
     ex_u, ez_u = cleanup_decoder.decode(np.asarray(s_res))
     ex_hat = (np.asarray(ex_g)[:, :n].astype(np.uint8) ^ ex_u.astype(np.uint8))
     ez_hat = (np.asarray(ez_g)[:, :n].astype(np.uint8) ^ ez_u.astype(np.uint8))
@@ -119,22 +140,13 @@ def ler_gnn_cleanup(
     lx = np.asarray(graph.logicals_x)[:, :n]
     lz = np.asarray(graph.logicals_z)[:, :n]
 
-    from tpugnn.sampling.noise import syndrome as syn_of
-
-    @partial(jax.jit, static_argnames=("batch_",))
-    def sample_fwd(params, k, p_, batch_):
-        b = sample_batch(k, graph, p_, batch_)
-        out = apply_fn(params, graph, b.syndrome)
-        ex_g, ez_g = _gated_corrections(out.qubit_logits, tau)
-        s_res = jnp.mod(b.syndrome + syn_of(graph, ex_g, ez_g), 2.0)
-        return b.ex, b.ez, ex_g, ez_g, s_res
-
+    sample_fwd = _sample_fwd_fn(apply_fn, tau, batch)
     fails = 0
     syn_mismatch = 0
     total = 0
     for _ in range(max(1, (shots + batch - 1) // batch)):
         key, sub = jax.random.split(key)
-        ex, ez, ex_g, ez_g, s_res = sample_fwd(params, sub, p, batch)
+        ex, ez, ex_g, ez_g, s_res = sample_fwd(params, graph, sub, p)
         ex_u, ez_u = dec.decode(np.asarray(s_res))
         ex_hat = np.asarray(ex_g)[:, :n].astype(np.uint8) ^ ex_u.astype(np.uint8)
         ez_hat = np.asarray(ez_g)[:, :n].astype(np.uint8) ^ ez_u.astype(np.uint8)

@@ -19,7 +19,7 @@ Failure accounting (per shot):
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache
 from typing import Callable
 
 import jax
@@ -29,6 +29,28 @@ from tpugnn.sampling.noise import SyndromeBatch, sample_batch, syndrome
 from tpugnn.tanner.graph import TannerGraph
 
 __all__ = ["decode_corrections", "count_failures", "ler_monte_carlo"]
+
+
+@lru_cache(maxsize=64)
+def _chunk_fn(apply_fn: Callable, batch: int):
+    """One jitted MC chunk per (decoder, batch size).
+
+    Both ``p`` (noise rate) and the graph are TRACED arguments, and the jit
+    object is cached across ``ler_monte_carlo`` calls — a whole LER sweep
+    (many p points, many calls) compiles exactly ONE program per decoder.
+    A per-call ``jax.jit`` would recompile at every point: minutes each on
+    the tunneled TPU.
+    """
+
+    @jax.jit
+    def chunk(params, graph, key, p_):
+        b = sample_batch(key, graph, p_, batch)
+        out = apply_fn(params, graph, b.syndrome)
+        ex_hat, ez_hat = decode_corrections(out.qubit_logits)
+        fails = count_failures(graph, b, ex_hat, ez_hat, out.logical_logits)
+        return {k: jnp.sum(v) for k, v in fails.items()}
+
+    return chunk
 
 
 def decode_corrections(out_qubit_logits: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -97,18 +119,7 @@ def ler_monte_carlo(
     ``qubit_logits`` and optional ``logical_logits``.
     Returns scalar metrics including the binomial standard error.
     """
-
-    # p is a TRACED scalar (jnp.float32), not a static arg: an LER sweep
-    # over noise rates then compiles ONE program per (graph, batch) — on
-    # the tunneled TPU each avoided compile saves minutes
-    @partial(jax.jit, static_argnames=("batch_",))
-    def chunk(params, key, p_, batch_):
-        b = sample_batch(key, graph, p_, batch_)
-        out = apply_fn(params, graph, b.syndrome)
-        ex_hat, ez_hat = decode_corrections(out.qubit_logits)
-        fails = count_failures(graph, b, ex_hat, ez_hat, out.logical_logits)
-        return {k: jnp.sum(v) for k, v in fails.items()}
-
+    chunk = _chunk_fn(apply_fn, batch)
     n_chunks = max(1, (shots + batch - 1) // batch)
     total = {}
     # accumulate on-device and read back ONCE: float() per chunk would
@@ -117,7 +128,7 @@ def ler_monte_carlo(
     # dispatch keeps the chip busy across chunk boundaries instead
     for i in range(n_chunks):
         key, sub = jax.random.split(key)
-        c = chunk(params, sub, p, batch)
+        c = chunk(params, graph, sub, p)
         for k, v in c.items():
             total[k] = total[k] + v if k in total else v
     total = {k: float(v) for k, v in total.items()}
