@@ -131,3 +131,28 @@ def test_bf16_path_runs_and_correlates():
             continue
         cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
         assert cos > 0.98, f"{fld}: cosine {cos}"
+
+
+def test_rolled_equals_unrolled_rounds():
+    """fori_loop round walk (default) == static unroll, values and grads."""
+    g, ops, w, xc, xq, syn, rounds = _setup(rounds=4)
+    f_roll = kernel_trained_rounds(ops, rounds=rounds, compute_dtype="float32",
+                                   interpret=True, unroll_rounds=False)
+    f_unroll = kernel_trained_rounds(ops, rounds=rounds,
+                                     compute_dtype="float32",
+                                     interpret=True, unroll_rounds=True)
+
+    def loss(f, xc, xq, syn, w):
+        oc, oq = f(xc, xq, syn, w)
+        return jnp.sum(jnp.sin(oc)) + jnp.sum(jnp.cos(oq))
+
+    import functools
+
+    va, ga = jax.value_and_grad(functools.partial(loss, f_roll),
+                                argnums=(0, 3))(xc, xq, syn, w)
+    vb, gb = jax.value_and_grad(functools.partial(loss, f_unroll),
+                                argnums=(0, 3))(xc, xq, syn, w)
+    assert abs(float(va) - float(vb)) < 1e-6 * max(1.0, abs(float(vb)))
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)

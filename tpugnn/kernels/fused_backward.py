@@ -207,7 +207,14 @@ def _round_fwd(xc, xq, consts, *, want_residuals: bool, ablate=frozenset()):
     return out, res
 
 
-def _make_fwd_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt, ablate=frozenset()):
+def _make_fwd_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt, ablate=frozenset(),
+                     unroll_rounds: bool = False):
+    """Forward+stash kernel.  Default rolls the round loop into a
+    ``lax.fori_loop`` with dynamic stash indexing — Mosaic compiles the
+    round body ONCE instead of R inlined copies (the R=14 static unroll
+    pushed whole-program compiles past 30 min through the tunnel); pass
+    ``unroll_rounds=True`` for the original fully-unrolled schedule."""
+
     def kernel(xc_ref, xq_ref, syn_ref,
                g_c_ref, defc_c_ref, degbo_c_ref, g_q_ref, defc_q_ref,
                degbo_q_ref, wproj_c_ref, wproj_q_ref, w2_ref, bmh_ref, bh_ref,
@@ -219,18 +226,33 @@ def _make_fwd_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt, ablate=frozenset()):
             syn_ref[0].astype(f32), MH, H, Dc, Dq, cdt,
         )
         xc, xq = xc_ref[0], xq_ref[0]
-        for r in range(R):  # static unroll: stash writes need static indices
-            stash_c_ref[0, r] = xc
-            stash_q_ref[0, r] = xq
-            xc, xq = _round_fwd(xc, xq, consts, want_residuals=False,
-                                ablate=ablate)
+        if unroll_rounds:
+            for r in range(R):
+                stash_c_ref[0, r] = xc
+                stash_q_ref[0, r] = xq
+                xc, xq = _round_fwd(xc, xq, consts, want_residuals=False,
+                                    ablate=ablate)
+        else:
+            def body(r, carry):
+                xc, xq = carry
+                stash_c_ref[0, pl.dslice(r, 1)] = xc[None]
+                stash_q_ref[0, pl.dslice(r, 1)] = xq[None]
+                return _round_fwd(xc, xq, consts, want_residuals=False,
+                                  ablate=ablate)
+
+            xc, xq = jax.lax.fori_loop(0, R, body, (xc, xq))
         out_xc_ref[0] = xc
         out_xq_ref[0] = xq
 
     return kernel
 
 
-def _make_bwd_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt, ablate=frozenset()):
+def _make_bwd_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt, ablate=frozenset(),
+                     unroll_rounds: bool = False):
+    """Backward kernel.  Default rolls the reverse-round walk into a
+    ``lax.fori_loop`` (dynamic stash reads, all accumulators in the loop
+    carry) so Mosaic compiles the adjoint body once instead of R inlined
+    copies; ``unroll_rounds=True`` restores the original static unroll."""
     fold = "fold" in ablate
     interleave = "interleave" in ablate
 
@@ -260,26 +282,10 @@ def _make_bwd_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt, ablate=frozenset()):
                         dbh_ref, ddegbo_c_ref, ddegbo_q_ref):
                 ref[...] = jnp.zeros(ref.shape, ref.dtype)
 
-        d_xc = dxc_o_ref[0]            # f32 [M, TB, H]
-        d_xq = dxq_o_ref[0]
-        dsyn = jnp.zeros((M, TB, H), f32)
-        dwproj_c = jnp.zeros(dwproj_c_ref.shape, f32)
-        dwproj_q = jnp.zeros(dwproj_q_ref.shape, f32)
-        dwo_c = jnp.zeros((MH, H), f32)
-        dwo_q = jnp.zeros((MH, H), f32)
-        duc_w1 = jnp.zeros((H, H), f32)
-        duq_w1 = jnp.zeros((H, H), f32)
-        if not fold:
-            duc_a = jnp.zeros((H, H), f32)
-            duq_a = jnp.zeros((H, H), f32)
-        dbmh = jnp.zeros((2, MH), f32)
-        dbh = [jnp.zeros((1, H), f32) for _ in range(8)]
-        ddegbo_c = jnp.zeros((M, 1, H), f32)
-        ddegbo_q = jnp.zeros((N, 1, H), f32)
-
-        for r in range(R - 1, -1, -1):  # static reverse unroll
-            xc = stash_c_ref[0, r]      # cdt round-input states
-            xq = stash_q_ref[0, r]
+        def reverse_round(xc, xq, d_xc, d_xq):
+            """One reverse round: replay the forward from the stashed
+            round-input states, chain the adjoint.  Returns the new state
+            cotangents plus this round's accumulator increments."""
             _, res = _round_fwd(xc, xq, consts, want_residuals=True,
                                 ablate=ablate)
             (ydb_c, ys_c, ydb_q, ys_q, hs_c, agg_c, t_c, hc, nh_c, inv_c,
@@ -291,55 +297,58 @@ def _make_bwd_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt, ablate=frozenset()):
                 m2 = jnp.mean(dnh * nh, axis=-1, keepdims=True)
                 return inv * (dnh - m1 - nh * m2)
 
+            dbh = [None] * 8
             # --- LayerNorm + residual-MLP adjoint (check side) ------------
-            dbh[4] += _rsum(d_xc * nh_c)              # lnc_scale
-            dbh[5] += _rsum(d_xc)                     # lnc_bias
+            dbh[4] = _rsum(d_xc * nh_c)               # lnc_scale
+            dbh[5] = _rsum(d_xc)                      # lnc_bias
             dpre_c = ln_bwd(d_xc, nh_c, inv_c, lnc_s)
             dxc_acc = dpre_c                          # residual into xc_r
             dpre_c_cdt = dpre_c.astype(cdt)
-            duc_w1 += _wgrad(hc, dpre_c_cdt)
-            dbh[1] += _rsum(dpre_c)                   # uc_b1
+            duc_w1 = _wgrad(hc, dpre_c_cdt)
+            dbh[1] = _rsum(dpre_c)                    # uc_b1
             dhc = _dot2T(dpre_c_cdt, uc_w1)
             dt_c = dhc * (t_c > 0)
             dt_c_cdt = dt_c.astype(cdt)
-            dsyn += dt_c
-            dbh[0] += _rsum(dt_c)                     # uc_b0
+            dsyn = dt_c
+            dbh[0] = _rsum(dt_c)                      # uc_b0
             if fold:
                 # aggregation feeds pre_c directly: dt_c IS the folded-agg
                 # cotangent (no ua chain; ddegbo accumulates the folded bias)
-                ddegbo_c += jnp.sum(dt_c, axis=1, keepdims=True)
-                dwo_c += _wgrad(hs_c, dt_c_cdt)
+                duc_a = None
+                ddegbo_c = jnp.sum(dt_c, axis=1, keepdims=True)
+                dwo_c = _wgrad(hs_c, dt_c_cdt)
                 dhs_c = _dot2T(dt_c_cdt, wo_c)
             else:
-                duc_a += _wgrad(agg_c, dt_c_cdt)
+                duc_a = _wgrad(agg_c, dt_c_cdt)
                 dagg_c = _dot2T(dt_c_cdt, uc_a)
-                ddegbo_c += jnp.sum(dagg_c, axis=1, keepdims=True)
+                ddegbo_c = jnp.sum(dagg_c, axis=1, keepdims=True)
                 dagg_c_cdt = dagg_c.astype(cdt)
-                dwo_c += _wgrad(hs_c, dagg_c_cdt)
+                dwo_c = _wgrad(hs_c, dagg_c_cdt)
                 dhs_c = _dot2T(dagg_c_cdt, wo_c)
 
             # --- (qubit side) ---------------------------------------------
-            dbh[6] += _rsum(d_xq * nh_q)              # lnq_scale
-            dbh[7] += _rsum(d_xq)                     # lnq_bias
+            dbh[6] = _rsum(d_xq * nh_q)               # lnq_scale
+            dbh[7] = _rsum(d_xq)                      # lnq_bias
             dpre_q = ln_bwd(d_xq, nh_q, inv_q, lnq_s)
             dxq_acc = dpre_q
             dpre_q_cdt = dpre_q.astype(cdt)
-            duq_w1 += _wgrad(hq, dpre_q_cdt)
-            dbh[3] += _rsum(dpre_q)                   # uq_b1
+            duq_w1 = _wgrad(hq, dpre_q_cdt)
+            dbh[3] = _rsum(dpre_q)                    # uq_b1
             dhq = _dot2T(dpre_q_cdt, uq_w1)
             dt_q = dhq * (t_q > 0)
             dt_q_cdt = dt_q.astype(cdt)
-            dbh[2] += _rsum(dt_q)                     # uq_b0
+            dbh[2] = _rsum(dt_q)                      # uq_b0
             if fold:
-                ddegbo_q += jnp.sum(dt_q, axis=1, keepdims=True)
-                dwo_q += _wgrad(hs_q, dt_q_cdt)
+                duq_a = None
+                ddegbo_q = jnp.sum(dt_q, axis=1, keepdims=True)
+                dwo_q = _wgrad(hs_q, dt_q_cdt)
                 dhs_q = _dot2T(dt_q_cdt, wo_q)
             else:
-                duq_a += _wgrad(agg_q, dt_q_cdt)
+                duq_a = _wgrad(agg_q, dt_q_cdt)
                 dagg_q = _dot2T(dt_q_cdt, uq_a)
-                ddegbo_q += jnp.sum(dagg_q, axis=1, keepdims=True)
+                ddegbo_q = jnp.sum(dagg_q, axis=1, keepdims=True)
                 dagg_q_cdt = dagg_q.astype(cdt)
-                dwo_q += _wgrad(hs_q, dagg_q_cdt)
+                dwo_q = _wgrad(hs_q, dagg_q_cdt)
                 dhs_q = _dot2T(dagg_q_cdt, wo_q)
 
             # --- slot-gather adjoint (recompute zk; scatter = gather^T).
@@ -373,7 +382,7 @@ def _make_bwd_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt, ablate=frozenset()):
                     dz = dhs_q * ((zk + ydb_q) > 0)
                     dydb_q = dydb_q + dz
                     dys_q = dys_q + _gdot(gT_q[k], dz.astype(cdt))
-            dbmh += jnp.concatenate([_rsum(dydb_c), _rsum(dydb_q)], axis=0)
+            dbmh = jnp.concatenate([_rsum(dydb_c), _rsum(dydb_q)], axis=0)
 
             # --- wide projection adjoint (lane order mirrors the packs:
             # yc = [ydb_c | ys_q | xc@uc_x], yq = [ys_c | ydb_q | xq@uq_x])
@@ -381,10 +390,77 @@ def _make_bwd_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt, ablate=frozenset()):
             dyq = jnp.concatenate([dys_c, dydb_q, dt_q], axis=-1)
             dyc_cdt = dyc.astype(cdt)
             dyq_cdt = dyq.astype(cdt)
-            dwproj_c += _wgrad(xc, dyc_cdt)
-            dwproj_q += _wgrad(xq, dyq_cdt)
-            d_xc = dxc_acc + _dot2T(dyc_cdt, wproj_c)
-            d_xq = dxq_acc + _dot2T(dyq_cdt, wproj_q)
+            dwproj_c = _wgrad(xc, dyc_cdt)
+            dwproj_q = _wgrad(xq, dyq_cdt)
+            d_xc_new = dxc_acc + _dot2T(dyc_cdt, wproj_c)
+            d_xq_new = dxq_acc + _dot2T(dyq_cdt, wproj_q)
+            inc = (dsyn, dwproj_c, dwproj_q, dwo_c, dwo_q, duc_w1, duq_w1,
+                   duc_a, duq_a, dbmh, tuple(dbh), ddegbo_c, ddegbo_q)
+            return d_xc_new, d_xq_new, inc
+
+        d_xc0 = dxc_o_ref[0]           # f32 [M, TB, H]
+        d_xq0 = dxq_o_ref[0]
+
+        def zero_acc():
+            z = lambda *s: jnp.zeros(s, f32)
+            return (z(M, TB, H),                       # dsyn
+                    jnp.zeros(dwproj_c_ref.shape, f32),
+                    jnp.zeros(dwproj_q_ref.shape, f32),
+                    z(MH, H), z(MH, H),                # dwo_c, dwo_q
+                    z(H, H), z(H, H),                  # duc_w1, duq_w1
+                    None if fold else z(H, H),         # duc_a
+                    None if fold else z(H, H),         # duq_a
+                    z(2, MH),                          # dbmh
+                    tuple(z(1, H) for _ in range(8)),  # dbh
+                    z(M, 1, H), z(N, 1, H))            # ddegbo_c/q
+
+        def add_acc(acc, inc):
+            def add(a, b):
+                if a is None:
+                    return None
+                if isinstance(a, tuple):
+                    return tuple(x + y for x, y in zip(a, b))
+                return a + b
+
+            return tuple(add(a, b) for a, b in zip(acc, inc))
+
+        if unroll_rounds:
+            d_xc, d_xq = d_xc0, d_xq0
+            acc = zero_acc()
+            for r in range(R - 1, -1, -1):
+                xc = stash_c_ref[0, r]  # cdt round-input states
+                xq = stash_q_ref[0, r]
+                d_xc, d_xq, inc = reverse_round(xc, xq, d_xc, d_xq)
+                acc = add_acc(acc, inc)
+        else:
+            # rolled: accumulators ride the fori_loop carry; fold's absent
+            # duc_a/duq_a slots are dropped from the carry (None is not a
+            # valid loop-carry leaf) and reinserted after the loop
+            def strip(acc):
+                return tuple(x for x in acc if x is not None)
+
+            def unstrip(flat):
+                flat = list(flat)
+                out = []
+                for proto in zero_acc():
+                    out.append(None if proto is None else flat.pop(0))
+                return tuple(out)
+
+            def body(i, carry):
+                r = R - 1 - i
+                d_xc, d_xq, acc_flat = carry
+                xc = stash_c_ref[0, pl.dslice(r, 1)][0]
+                xq = stash_q_ref[0, pl.dslice(r, 1)][0]
+                d_xc, d_xq, inc = reverse_round(xc, xq, d_xc, d_xq)
+                acc = add_acc(unstrip(acc_flat), inc)
+                return d_xc, d_xq, strip(acc)
+
+            d_xc, d_xq, acc_flat = jax.lax.fori_loop(
+                0, R, body, (d_xc0, d_xq0, strip(zero_acc())))
+            acc = unstrip(acc_flat)
+
+        (dsyn, dwproj_c, dwproj_q, dwo_c, dwo_q, duc_w1, duq_w1,
+         duc_a, duq_a, dbmh, dbh, ddegbo_c, ddegbo_q) = acc
 
         dxc_ref[0] = d_xc
         dxq_ref[0] = d_xq
@@ -400,7 +476,7 @@ def _make_bwd_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt, ablate=frozenset()):
                 [dwo_c, dwo_q, duc_a, duq_a, duc_w1, duq_w1], axis=0
             )
         dbmh_ref[...] += dbmh
-        dbh_ref[...] += jnp.concatenate(dbh, axis=0)
+        dbh_ref[...] += jnp.concatenate(list(dbh), axis=0)
         ddegbo_c_ref[...] += ddegbo_c
         ddegbo_q_ref[...] += ddegbo_q
 
@@ -410,7 +486,7 @@ def _make_bwd_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt, ablate=frozenset()):
 def make_kernel_vjp_rounds(
     graph_operators: tuple, *, rounds: int, compute_dtype: str = "bfloat16",
     interpret: bool | None = None, block_batch: int = 8,
-    ablate: tuple | None = None,
+    ablate: tuple | None = None, unroll_rounds: bool = False,
 ):
     """Differentiable tiled round-loop with Pallas forward AND backward.
 
@@ -460,7 +536,8 @@ def make_kernel_vjp_rounds(
         mh = bmh.shape[1]
         defc_c = jnp.broadcast_to(defc_c_row, (m, 1, mh))
         defc_q = jnp.broadcast_to(defc_q_row, (n, 1, mh))
-        kern = _make_fwd_kernel(m, n, dc, dq, h, mh, R, tb, cdt, ablate=ablate)
+        kern = _make_fwd_kernel(m, n, dc, dq, h, mh, R, tb, cdt, ablate=ablate,
+                                unroll_rounds=unroll_rounds)
         full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                       memory_space=pltpu.VMEM)
         tile = lambda rows, f: pl.BlockSpec((1, rows, tb, f),
@@ -504,7 +581,8 @@ def make_kernel_vjp_rounds(
         mh = bmh.shape[1]
         defc_c = jnp.broadcast_to(defc_c_row, (m, 1, mh))
         defc_q = jnp.broadcast_to(defc_q_row, (n, 1, mh))
-        kern = _make_bwd_kernel(m, n, dc, dq, h, mh, R, tb, cdt, ablate=ablate)
+        kern = _make_bwd_kernel(m, n, dc, dq, h, mh, R, tb, cdt, ablate=ablate,
+                                unroll_rounds=unroll_rounds)
         full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                       memory_space=pltpu.VMEM)
         acc = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
@@ -563,7 +641,7 @@ def make_kernel_vjp_rounds(
 def kernel_trained_rounds(
     operators: tuple, *, rounds: int, compute_dtype: str = "bfloat16",
     interpret: bool | None = None, block_batch: int = 8,
-    ablate: tuple | None = None,
+    ablate: tuple | None = None, unroll_rounds: bool = False,
 ):
     """(xc, xq, syn, weights) -> (xc_out, xq_out), fully kernel-backed VJP.
 
@@ -582,6 +660,7 @@ def kernel_trained_rounds(
     core = make_kernel_vjp_rounds(
         operators, rounds=rounds, compute_dtype=compute_dtype,
         interpret=interpret, ablate=tuple(ablate),
+        unroll_rounds=unroll_rounds,
     )
     deg_c = operators[2]
     deg_q = operators[5]
