@@ -17,7 +17,7 @@ import pytest
 
 from tpugnn.configs import CodeConfig, ExperimentConfig, ModelConfig, TrainConfig
 from tpugnn.eval.baseline import ler_union_find
-from tpugnn.eval.hybrid import ler_gnn_cleanup
+from tpugnn.eval.hybrid import ler_best_of, ler_gnn_cleanup
 from tpugnn.tanner import build_code
 from tpugnn.train.loop import init_state
 
@@ -65,3 +65,45 @@ def test_mwpm_cleanup_runs(setup):
         cleanup="mwpm",
     )
     assert res["syn_mismatch_rate"] == 0.0
+
+
+def test_logical_head_correction_realizes_class(setup):
+    """Feeding the TRUE class bits as logits yields a zero-failure
+    correction: consistency + symplectic pairing of the logical tables."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpugnn.eval.hybrid import logical_head_correction
+    from tpugnn.sampling import sample_batch
+    from tpugnn.sampling.noise import syndrome as syn_of
+
+    graph, model, state = setup
+    b = sample_batch(jax.random.PRNGKey(11), graph, 0.08, 128)
+    fake_logits = 2.0 * b.class_bits - 1.0       # >0 iff bit set
+    ex_h, ez_h = logical_head_correction(graph, b.syndrome, fake_logits)
+    # consistent
+    np.testing.assert_array_equal(
+        np.asarray(syn_of(graph, ex_h, ez_h)), np.asarray(b.syndrome))
+    # in the true class: residual commutes with all logicals
+    rx = np.asarray(jnp.mod(b.ex + ex_h, 2.0))
+    rz = np.asarray(jnp.mod(b.ez + ez_h, 2.0))
+    lz = np.asarray(graph.logicals_z)
+    lx = np.asarray(graph.logicals_x)
+    assert not ((rx @ lz.T) % 2).any()
+    assert not ((rz @ lx.T) % 2).any()
+
+
+def test_best_of_runs_and_tracks_best_member(setup):
+    graph, model, state = setup
+    res = ler_best_of(
+        model.apply, state.params, graph,
+        p=0.05, shots=1024, batch=512, key=jax.random.PRNGKey(13))
+    mw = ler_gnn_cleanup(
+        model.apply, state.params, graph,
+        p=0.05, shots=1024, batch=512, key=jax.random.PRNGKey(13),
+        cleanup="mwpm")
+    assert 0.0 <= res["ler"] <= 1.0
+    assert sum(res["picked"].values()) == 1024
+    # min-weight selection over a set containing gnn_mwpm should not be
+    # dramatically worse than gnn_mwpm alone (statistical smoke bound)
+    assert res["ler"] <= mw["ler"] + 3 * mw["ler_stderr"] + 0.02

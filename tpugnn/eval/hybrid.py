@@ -35,7 +35,8 @@ from tpugnn.eval.ler import decode_corrections
 from tpugnn.sampling.noise import sample_batch
 from tpugnn.tanner.graph import TannerGraph
 
-__all__ = ["gnn_cleanup_corrections", "ler_gnn_cleanup"]
+__all__ = ["gnn_cleanup_corrections", "ler_gnn_cleanup", "ler_best_of",
+           "logical_head_correction"]
 
 
 @lru_cache(maxsize=64)
@@ -164,4 +165,148 @@ def ler_gnn_cleanup(
         "syn_mismatch_rate": syn_mismatch / total,
         "shots": float(total),
         "decoder": f"gnn+{cleanup}" + (f"@tau{tau}" if tau is not None else ""),
+    }
+
+
+def logical_head_correction(graph: TannerGraph, syndrome_batch, logical_logits):
+    """Realize the logical-class head's prediction as a physical correction.
+
+    e_hat = (pure error T @ s) XOR the predicted logical representatives:
+    bx selects lx_i, bz selects lz_i (the symplectic pairing used by
+    sampling.logical_class_bits, so <lz_i, ex_hat XOR ex0> = bx_i).
+    Syndrome-consistent by construction.
+    """
+    s = syndrome_batch
+    b = (logical_logits > 0.0).astype(jnp.float32)
+    k = graph.k
+    bx, bz = b[..., :k], b[..., k:]
+    ex0 = jnp.mod(s @ graph.pure_ex.T, 2.0)
+    ez0 = jnp.mod(s @ graph.pure_ez.T, 2.0)
+    ex = jnp.mod(ex0 + bx @ graph.logicals_x, 2.0)
+    ez = jnp.mod(ez0 + bz @ graph.logicals_z, 2.0)
+    return ex, ez
+
+
+def ler_best_of(
+    apply_fn: Callable,
+    params,
+    graph: TannerGraph,
+    *,
+    p: float,
+    shots: int,
+    batch: int = 4096,
+    key: jax.Array | None = None,
+    candidates: tuple = ("qubit", "logical", "gnn_uf", "gnn_mwpm", "mwpm"),
+    tau: float | None = None,
+    force_python: bool = False,
+) -> dict[str, float]:
+    """Per-shot minimum-weight selection over syndrome-consistent candidates.
+
+    Every candidate correction is syndrome-consistent (the raw per-qubit
+    head is assigned infinite weight when it is not); the decoder commits
+    the lightest under the Y-aware depolarizing weight |support(ex OR ez)|
+    (X, Y, Z are equiprobable single events, so a Y costs ONE unit — the
+    weighting MWPM's independent-sector decomposition cannot express).
+    Approximate MAP over the candidate set; never much worse than the best
+    member, often better than every one.
+    """
+    key = key if key is not None else jax.random.PRNGKey(0)
+    n = graph.n_qubits
+    hx = np.asarray(graph.h_syn_ez)[: graph.n_checks, :n]
+    hz = np.asarray(graph.h_syn_ex)[: graph.n_checks, :n]
+    lx = np.asarray(graph.logicals_x)[:, :n]
+    lz = np.asarray(graph.logicals_z)[:, :n]
+
+    need_uf = "gnn_uf" in candidates
+    need_mw = "gnn_mwpm" in candidates or "mwpm" in candidates
+    uf = mw = None
+    if need_uf:
+        from tpugnn.baselines.union_find import UnionFindDecoder
+
+        uf = UnionFindDecoder(graph, force_python=force_python)
+    if need_mw:
+        from tpugnn.baselines.mwpm import MWPMDecoder
+
+        mw = MWPMDecoder(graph, p=p, force_python=force_python)
+
+    from tpugnn.sampling.noise import syndrome as syn_of
+
+    @lru_cache(maxsize=8)
+    def _fwd(apply_fn_, tau_, batch_):
+        @jax.jit
+        def f(params, graph, k, p_):
+            b = sample_batch(k, graph, p_, batch_)
+            out = apply_fn_(params, graph, b.syndrome)
+            ex_g, ez_g = _gated_corrections(out.qubit_logits, tau_)
+            s_res = jnp.mod(b.syndrome + syn_of(graph, ex_g, ez_g), 2.0)
+            lex, lez = (logical_head_correction(graph, b.syndrome,
+                                                out.logical_logits)
+                        if out.logical_logits is not None
+                        else (ex_g, ez_g))
+            return b.ex, b.ez, b.syndrome, ex_g, ez_g, s_res, lex, lez
+
+        return f
+
+    fwd = _fwd(apply_fn, tau, batch)
+    fails = 0
+    total = 0
+    picked = np.zeros(len(candidates), np.int64)
+    for _ in range(max(1, (shots + batch - 1) // batch)):
+        key, sub = jax.random.split(key)
+        ex, ez, s, ex_g, ez_g, s_res, lex, lez = fwd(params, graph, sub, p)
+        s_np = np.asarray(s).astype(np.uint8)
+        s_res_np = np.asarray(s_res)
+        exg = np.asarray(ex_g)[:, :n].astype(np.uint8)
+        ezg = np.asarray(ez_g)[:, :n].astype(np.uint8)
+        cands = []
+        for name in candidates:
+            if name == "qubit":
+                cands.append((exg, ezg, True))  # consistency checked below
+            elif name == "logical":
+                cands.append((np.asarray(lex)[:, :n].astype(np.uint8),
+                              np.asarray(lez)[:, :n].astype(np.uint8), False))
+            elif name == "gnn_uf":
+                exu, ezu = uf.decode(s_res_np)
+                cands.append((exg ^ exu.astype(np.uint8),
+                              ezg ^ ezu.astype(np.uint8), False))
+            elif name == "gnn_mwpm":
+                exm, ezm = mw.decode(s_res_np)
+                cands.append((exg ^ exm.astype(np.uint8),
+                              ezg ^ ezm.astype(np.uint8), False))
+            elif name == "mwpm":
+                exm, ezm = mw.decode(s_np)
+                cands.append((exm.astype(np.uint8), ezm.astype(np.uint8),
+                              False))
+            else:
+                raise ValueError(f"unknown candidate {name!r}")
+        bsz = exg.shape[0]
+        weights = np.full((len(cands), bsz), np.inf)
+        for i, (cex, cez, check) in enumerate(cands):
+            w = (cex | cez).sum(axis=1).astype(np.float64)
+            if check:
+                # consistency: syndrome of candidate must equal observed
+                s_hat = ((cex @ hz.T) + (cez @ hx.T)) % 2
+                sm = (s_hat != s_np[:, : hz.shape[0]]).any(axis=1)
+                w = np.where(sm, np.inf, w)
+            weights[i] = w
+        choice = np.argmin(weights, axis=0)
+        for i in range(len(cands)):
+            picked[i] += int((choice == i).sum())
+        ex_hat = np.take_along_axis(
+            np.stack([c[0] for c in cands]), choice[None, :, None], axis=0)[0]
+        ez_hat = np.take_along_axis(
+            np.stack([c[1] for c in cands]), choice[None, :, None], axis=0)[0]
+        rx = (np.asarray(ex)[:, :n].astype(np.uint8) ^ ex_hat) & 1
+        rz = (np.asarray(ez)[:, :n].astype(np.uint8) ^ ez_hat) & 1
+        lf = ((rx @ lz.T) % 2).any(axis=1) | ((rz @ lx.T) % 2).any(axis=1)
+        sm = (((rx @ hz.T) % 2).any(axis=1) | ((rz @ hx.T) % 2).any(axis=1))
+        fails += int(np.sum(lf | sm))
+        total += bsz
+    ler = fails / total
+    return {
+        "ler": ler,
+        "ler_stderr": (max(ler * (1 - ler), 1e-12) / total) ** 0.5,
+        "shots": float(total),
+        "decoder": "best_of:" + "+".join(candidates),
+        "picked": {c: int(picked[i]) for i, c in enumerate(candidates)},
     }
