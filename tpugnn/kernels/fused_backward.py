@@ -61,7 +61,8 @@ from tpugnn.kernels.fused_decoder import (
     prep_operators,
 )
 
-__all__ = ["make_kernel_vjp_rounds", "kernel_trained_rounds"]
+__all__ = ["make_kernel_vjp_rounds", "kernel_trained_rounds",
+           "kernel_trained_rounds_tiled", "train_block_batch"]
 
 f32 = jnp.float32
 
@@ -139,8 +140,14 @@ def _round_fwd(xc, xq, consts, *, want_residuals: bool, ablate=frozenset()):
     xc_ux = yc[..., 2*MH:]
     xq_ux = yq[..., 2*MH:]
 
-    def term(g_k, ys, ydb, nydb):
+    def term(g_k, ys, ydb, nydb, masks):
         zk = _gdot(g_k, ys)
+        if masks is not None:
+            # the slot relu's subgradient mask, saved for the adjoint so it
+            # does not redo this gather GEMM just to rebuild the mask (the
+            # sumrelu rewrite shares the same (zk + ydb > 0) condition:
+            # max(zk, -ydb) is non-constant in zk exactly when zk > -ydb)
+            masks.append(((zk + ydb) > 0).astype(f32))
         if use_max:
             return jnp.maximum(zk, nydb)
         return jax.nn.relu(zk + ydb)
@@ -154,22 +161,24 @@ def _round_fwd(xc, xq, consts, *, want_residuals: bool, ablate=frozenset()):
 
     nydb_c = -ydb_c if use_max else None
     nydb_q = -ydb_q if use_max else None
+    masks_c = [] if want_residuals else None
+    masks_q = [] if want_residuals else None
     if "interleave" in ablate:
         hs_c = hs_q = None
         for k in range(max(Dc, Dq)):
             if k < Dc:
-                t = term(g_c[k], ys_c, ydb_c, nydb_c)
+                t = term(g_c[k], ys_c, ydb_c, nydb_c, masks_c)
                 hs_c = t if hs_c is None else hs_c + t
             if k < Dq:
-                t = term(g_q[k], ys_q, ydb_q, nydb_q)
+                t = term(g_q[k], ys_q, ydb_q, nydb_q, masks_q)
                 hs_q = t if hs_q is None else hs_q + t
     else:
         hs_c = hs_q = None
         for k in range(Dc):
-            t = term(g_c[k], ys_c, ydb_c, nydb_c)
+            t = term(g_c[k], ys_c, ydb_c, nydb_c, masks_c)
             hs_c = t if hs_c is None else hs_c + t
         for k in range(Dq):
-            t = term(g_q[k], ys_q, ydb_q, nydb_q)
+            t = term(g_q[k], ys_q, ydb_q, nydb_q, masks_q)
             hs_q = t if hs_q is None else hs_q + t
     hs_c = fin(hs_c, ydb_c, defc_c, Dc).astype(cdt)
     hs_q = fin(hs_q, ydb_q, defc_q, Dq).astype(cdt)
@@ -203,7 +212,8 @@ def _round_fwd(xc, xq, consts, *, want_residuals: bool, ablate=frozenset()):
     if not want_residuals:
         return out
     res = (ydb_c, ys_c, ydb_q, ys_q, hs_c, agg_c, t_c, hc, nh_c, inv_c,
-           hs_q, agg_q, t_q, hq, nh_q, inv_q)
+           hs_q, agg_q, t_q, hq, nh_q, inv_q,
+           tuple(masks_c), tuple(masks_q))
     return out, res
 
 
@@ -289,7 +299,7 @@ def _make_bwd_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt, ablate=frozenset(),
             _, res = _round_fwd(xc, xq, consts, want_residuals=True,
                                 ablate=ablate)
             (ydb_c, ys_c, ydb_q, ys_q, hs_c, agg_c, t_c, hc, nh_c, inv_c,
-             hs_q, agg_q, t_q, hq, nh_q, inv_q) = res
+             hs_q, agg_q, t_q, hq, nh_q, inv_q, masks_c, masks_q) = res
 
             def ln_bwd(dy, nh, inv, scale):
                 dnh = dy * scale
@@ -351,10 +361,13 @@ def _make_bwd_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt, ablate=frozenset(),
                 dwo_q = _wgrad(hs_q, dagg_q_cdt)
                 dhs_q = _dot2T(dagg_q_cdt, wo_q)
 
-            # --- slot-gather adjoint (recompute zk; scatter = gather^T).
-            # The sumrelu rewrite shares the (zk + ydb > 0) subgradient
-            # mask, so the adjoint is schedule-independent; interleave
-            # merges both directions' loops for MXU/VPU overlap. ----------
+            # --- slot-gather adjoint (scatter = gather^T).  The replay
+            # already evaluated every slot gather; its saved subgradient
+            # masks mean the adjoint does ONLY the transposed scatter GEMMs
+            # instead of re-doing each gather to rebuild the mask — a third
+            # of the backward's slot-GEMM work.  The sumrelu rewrite shares
+            # the mask, so the adjoint stays schedule-independent;
+            # interleave merges both directions' loops for MXU/VPU overlap.
             dydb_c = -defc_c * (ydb_c > 0).astype(f32) * dhs_c
             dydb_q = -defc_q * (ydb_q > 0).astype(f32) * dhs_q
             dys_c = jnp.zeros((N, TB, MH), f32)
@@ -362,24 +375,20 @@ def _make_bwd_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt, ablate=frozenset(),
             if interleave:
                 for k in range(max(Dc, Dq)):
                     if k < Dc:
-                        zk = _gdot(g_c[k], ys_c)
-                        dz = dhs_c * ((zk + ydb_c) > 0)
+                        dz = dhs_c * masks_c[k]
                         dydb_c = dydb_c + dz
                         dys_c = dys_c + _gdot(gT_c[k], dz.astype(cdt))
                     if k < Dq:
-                        zk = _gdot(g_q[k], ys_q)
-                        dz = dhs_q * ((zk + ydb_q) > 0)
+                        dz = dhs_q * masks_q[k]
                         dydb_q = dydb_q + dz
                         dys_q = dys_q + _gdot(gT_q[k], dz.astype(cdt))
             else:
                 for k in range(Dc):
-                    zk = _gdot(g_c[k], ys_c)
-                    dz = dhs_c * ((zk + ydb_c) > 0)
+                    dz = dhs_c * masks_c[k]
                     dydb_c = dydb_c + dz
                     dys_c = dys_c + _gdot(gT_c[k], dz.astype(cdt))
                 for k in range(Dq):
-                    zk = _gdot(g_q[k], ys_q)
-                    dz = dhs_q * ((zk + ydb_q) > 0)
+                    dz = dhs_q * masks_q[k]
                     dydb_q = dydb_q + dz
                     dys_q = dys_q + _gdot(gT_q[k], dz.astype(cdt))
             dbmh = jnp.concatenate([_rsum(dydb_c), _rsum(dydb_q)], axis=0)
@@ -638,21 +647,38 @@ def make_kernel_vjp_rounds(
     return core
 
 
-def kernel_trained_rounds(
-    operators: tuple, *, rounds: int, compute_dtype: str = "bfloat16",
-    interpret: bool | None = None, block_batch: int = 8,
-    ablate: tuple | None = None, unroll_rounds: bool = False,
-):
-    """(xc, xq, syn, weights) -> (xc_out, xq_out), fully kernel-backed VJP.
+def train_block_batch(operators: tuple, mh: int, compute_dtype, batch: int,
+                      rounds: int, block_batch: int = 8) -> int:
+    """Batch tile for the TRAINING kernels (tighter than inference).
 
-    Drop-in for fused_decoder.make_differentiable_rounds (same batch-layout
-    signature over [B, rows, H] f32 states and a RoundWeights tree), but
-    the backward is the hand-written fused kernel rather than rematerialized
-    XLA.  Weight packing, the degree x out-bias fold, the syndrome-term
-    product, and the batch<->tile transposes stay in plain JAX and
-    differentiate automatically — including the wo@ua / (deg*bo)@ua fold
-    products of the promoted 'fold' variant, whose AD un-folds the kernel's
-    folded-operand gradients into dwo/dua/dbo.
+    The backward's working set (~3x forward) + the round-state stash bound
+    the tile; the +4 covers the f32 per-slot subgradient masks the replay
+    saves for the adjoint (Dc+Dq slot-shaped tensors live from replay to
+    adjoint).
+    """
+    slots = max(operators[0].shape[0], operators[3].shape[0])
+    cdt = jnp.dtype(compute_dtype)
+    return fd.pick_block_batch(
+        slots * (6 + rounds // 4), mh, cdt.itemsize, batch, block_batch
+    )
+
+
+def kernel_trained_rounds_tiled(
+    operators: tuple, *, rounds: int, compute_dtype: str = "bfloat16",
+    interpret: bool | None = None, ablate: tuple | None = None,
+    unroll_rounds: bool = False,
+):
+    """Tiled-layout trainable core with fully kernel-backed VJP.
+
+    ``f(xc_t, xq_t, s_pm_t, weights) -> (xc_o_t, xq_o_t)`` where the states
+    are already in the kernel's [nblk, rows, TB, H] f32 layout and
+    ``s_pm_t`` is the tiled +-1 syndrome feature [nblk, M, TB].  Callers
+    that embed directly in the tiled layout (PallasDecoder's trainable
+    tiled path) skip the four large state transposes — and, under grad,
+    their adjoint transposes — that the [B, rows, H] wrapper pays.
+
+    Weight packing, the degree x out-bias fold, and the syndrome x uc_s
+    product stay in plain JAX and differentiate automatically.
     """
     if ablate is None:
         ablate = fd.PROD_VARIANTS
@@ -664,13 +690,8 @@ def kernel_trained_rounds(
     )
     deg_c = operators[2]
     deg_q = operators[5]
-    cdt = jnp.dtype(compute_dtype)
-    slots = max(operators[0].shape[0], operators[3].shape[0])
 
-    def f(xc, xq, syn, weights: RoundWeights):
-        b, m, h = xc.shape
-        n = xq.shape[1]
-        mh = weights.wd_c.shape[1]
+    def f_t(xc_t, xq_t, s_pm_t, weights: RoundWeights):
         w = weights
         # f32 packing (differentiable; core casts to the compute dtype)
         wproj_c = jnp.concatenate([w.wd_c, w.ws_q, w.uc_x], axis=1)
@@ -692,21 +713,48 @@ def kernel_trained_rounds(
             [w.uc_b0, w.uc_b1, w.uq_b0, w.uq_b1,
              w.lnc_scale, w.lnc_bias, w.lnq_scale, w.lnq_bias], axis=0
         )
-        syn_ucs = syn * w.uc_s[0]                        # [B, M, H]
-
-        # the backward's working set (~3x forward) + the round-state stash
-        # bound the batch tile tighter than inference
-        tb = fd.pick_block_batch(
-            slots * (2 + rounds // 4), mh, cdt.itemsize, b, block_batch
+        syn_ucs = s_pm_t[..., None] * w.uc_s[0]          # [nblk, M, TB, H]
+        return core(
+            xc_t, xq_t, syn_ucs,
+            wproj_c, wproj_q, w2, bmh, bh, degbo_c, degbo_q,
         )
+
+    return f_t
+
+
+def kernel_trained_rounds(
+    operators: tuple, *, rounds: int, compute_dtype: str = "bfloat16",
+    interpret: bool | None = None, block_batch: int = 8,
+    ablate: tuple | None = None, unroll_rounds: bool = False,
+):
+    """(xc, xq, syn, weights) -> (xc_out, xq_out), fully kernel-backed VJP.
+
+    Drop-in for fused_decoder.make_differentiable_rounds (same batch-layout
+    signature over [B, rows, H] f32 states and a RoundWeights tree), but
+    the backward is the hand-written fused kernel rather than rematerialized
+    XLA.  Thin wrapper over kernel_trained_rounds_tiled adding the
+    batch<->tile transposes (differentiable; the fold products' AD un-folds
+    the kernel's folded-operand gradients into dwo/dua/dbo).
+    """
+    core_t = kernel_trained_rounds_tiled(
+        operators, rounds=rounds, compute_dtype=compute_dtype,
+        interpret=interpret, ablate=ablate, unroll_rounds=unroll_rounds,
+    )
+
+    def f(xc, xq, syn, weights: RoundWeights):
+        b, m, h = xc.shape
+        n = xq.shape[1]
+        mh = weights.wd_c.shape[1]
+        tb = train_block_batch(operators, mh, compute_dtype, b, rounds,
+                               block_batch)
         nblk = b // tb
 
         def to_tiles(x, rows, feat):
             return x.reshape(nblk, tb, rows, feat).transpose(0, 2, 1, 3)
 
-        xc_o, xq_o = core(
-            to_tiles(xc, m, h), to_tiles(xq, n, h), to_tiles(syn_ucs, m, h),
-            wproj_c, wproj_q, w2, bmh, bh, degbo_c, degbo_q,
+        s_pm_t = syn[..., 0].reshape(nblk, tb, m).transpose(0, 2, 1)
+        xc_o, xq_o = core_t(
+            to_tiles(xc, m, h), to_tiles(xq, n, h), s_pm_t, weights,
         )
 
         def from_tiles(x, rows, feat):

@@ -78,6 +78,11 @@ class PallasDecoder:
     def apply(self, params, graph: TannerGraph, syndrome: jnp.ndarray) -> DecoderOutput:
         if not self.trainable:
             return self._apply_tiled(params, graph, syndrome)
+        if self.backward == "pallas":
+            # the kernel-backed VJP also has a tiled entry point, so the
+            # trainable path skips the four large state transposes (and
+            # their adjoints) exactly like tiled inference does
+            return self._apply_tiled(params, graph, syndrome, trainable=True)
         return self._apply_batched(params, graph, syndrome)
 
     def _apply_batched(self, params, graph: TannerGraph, syndrome: jnp.ndarray) -> DecoderOutput:
@@ -151,12 +156,15 @@ class PallasDecoder:
             qubit_logits = jnp.zeros((batch, n_pad, 2), jnp.float32)
         return DecoderOutput(qubit_logits=qubit_logits, logical_logits=logical_logits)
 
-    def _apply_tiled(self, params, graph: TannerGraph, syndrome: jnp.ndarray) -> DecoderOutput:
-        """Inference path with embed/readout in the kernel's tiled layout.
+    def _apply_tiled(self, params, graph: TannerGraph, syndrome: jnp.ndarray,
+                     *, trainable: bool = False) -> DecoderOutput:
+        """Embed/rounds/readout in the kernel's tiled layout.
 
         Produces node states directly as [nblk, rows, TB, H], skipping the
         four large state transposes of the batched wrapper; only the small
-        syndrome/logit tensors are ever transposed.
+        syndrome/logit tensors are ever transposed.  With ``trainable``,
+        the rounds go through the kernel-backed VJP's tiled entry point
+        (fused Pallas forward AND backward), composing with jax.grad.
         """
         import jax
 
@@ -172,8 +180,14 @@ class PallasDecoder:
         cm, qm = graph.check_mask, graph.qubit_mask
         cdt = jnp.dtype(cfg.dtype)
         ops = make_operators(graph)
-        slots = max(ops[0].shape[0], ops[3].shape[0])
-        tb = pick_block_batch(slots, cfg.msg_hidden, cdt.itemsize, batch)
+        if trainable:
+            from tpugnn.kernels.fused_backward import train_block_batch
+
+            tb = train_block_batch(ops, cfg.msg_hidden, cfg.dtype, batch,
+                                   cfg.rounds)
+        else:
+            slots = max(ops[0].shape[0], ops[3].shape[0])
+            tb = pick_block_batch(slots, cfg.msg_hidden, cdt.itemsize, batch)
         nblk = batch // tb
         w = roundweights_from_flax(p["rounds"])
 
@@ -198,17 +212,28 @@ class PallasDecoder:
         xc_t = (
             _mlp2(check_in, p["embed_check_d0"], p["embed_check_d1"])
             * cm[None, :, None, None]
-        ).astype(cdt)
+        )
         xq0 = _mlp2(graph.qubit_feat, p["embed_qubit_d0"], p["embed_qubit_d1"])
         xq_t = jnp.broadcast_to(
             (xq0 * qm[:, None])[None, :, None, :], (nblk, n_pad, tb, cfg.hidden)
-        ).astype(cdt)
-        syn_ucs = (s_pm[..., None] * w.uc_s[0]).astype(cdt)
-
-        xc_o, xq_o = decoder_rounds_tiled(
-            xc_t, xq_t, syn_ucs, ops, w,
-            rounds=cfg.rounds, interpret=self.interpret, compute_dtype=cfg.dtype,
         )
+
+        if trainable:
+            # see _apply_batched for why this is rebuilt on every trace
+            from tpugnn.kernels.fused_backward import kernel_trained_rounds_tiled
+
+            core_t = kernel_trained_rounds_tiled(
+                ops, rounds=cfg.rounds, compute_dtype=cfg.dtype,
+                interpret=self.interpret,
+            )
+            xc_o, xq_o = core_t(xc_t, xq_t, s_pm, w)
+        else:
+            syn_ucs = (s_pm[..., None] * w.uc_s[0]).astype(cdt)
+            xc_o, xq_o = decoder_rounds_tiled(
+                xc_t.astype(cdt), xq_t.astype(cdt), syn_ucs, ops, w,
+                rounds=cfg.rounds, interpret=self.interpret,
+                compute_dtype=cfg.dtype,
+            )
 
         qubit_logits = None
         logical_logits = None
