@@ -36,6 +36,9 @@ def main() -> int:
     ap.add_argument("--no-cleanup", action="store_true",
                     help="skip the GNN+UF / GNN+MWPM residual-cleanup "
                          "hybrid columns")
+    ap.add_argument("--no-best-of", action="store_true",
+                    help="skip the per-shot minimum-weight best-of column "
+                         "(MAP selection over GNN/cleanup/MWPM candidates)")
     ap.add_argument("--tau", type=float, default=None,
                     help="confidence gate for the cleanup hybrids (keep GNN "
                          "flips with posterior max-prob >= tau)")
@@ -142,6 +145,8 @@ def main() -> int:
                     and (args.no_bp or r.get("bp_osd") is not None)
                     and (args.no_mwpm or r.get("mwpm") is not None)
                     and (args.no_cleanup or r.get("gnn_uf") is not None)
+                    and (args.no_cleanup or args.no_best_of
+                         or r.get("gnn_best_of") is not None)
                     and all(r.get(k) == v for k, v in ident.items()))
 
         prevs = {p: done.get((fam_name, d, p)) for p in args.ps}
@@ -209,9 +214,9 @@ def main() -> int:
                 except Exception as e:
                     print(f"mwpm baseline failed for {spec} p={p} "
                           f"({type(e).__name__}: {e})", file=sys.stderr)
-            guf = gmw = None
+            guf = gmw = gbo = None
             if not args.no_cleanup:
-                from tpugnn.eval.hybrid import ler_gnn_cleanup
+                from tpugnn.eval.hybrid import ler_best_of, ler_gnn_cleanup
 
                 try:  # defensive: never lose the table to a hybrid column
                     guf = ler_gnn_cleanup(
@@ -226,11 +231,29 @@ def main() -> int:
                 except Exception as e:
                     print(f"gnn-cleanup failed for {spec} p={p} "
                           f"({type(e).__name__}: {e})", file=sys.stderr)
+                if not args.no_best_of:
+                    # per-shot minimum-weight MAP over every syndrome-
+                    # consistent candidate (GNN heads, cleanup hybrids, raw
+                    # MWPM): by construction never commits a heavier
+                    # correction than exact MWPM's, so this is the
+                    # strongest decode-time rule the stack offers
+                    try:
+                        cands = ("qubit", "logical", "gnn_uf") + (
+                            () if args.no_mwpm else ("gnn_mwpm", "mwpm"))
+                        gbo = ler_best_of(
+                            apply_fn, restored.params, graph, p=p,
+                            shots=args.shots, batch=4096, candidates=cands,
+                            tau=args.tau, key=jax.random.PRNGKey(777))
+                    except Exception as e:
+                        print(f"gnn-best-of failed for {spec} p={p} "
+                              f"({type(e).__name__}: {e})", file=sys.stderr)
             row = {"family": fam_name, "d": d, "p": p,
                    "gnn_hybrid": ev.get("ler_hybrid"),
                    "gnn_logical": ev.get("ler_logical"),
                    "gnn_uf": None if guf is None else guf["ler"],
                    "gnn_mwpm": None if gmw is None else gmw["ler"],
+                   "gnn_best_of": None if gbo is None else gbo["ler"],
+                   "best_of_picked": None if gbo is None else gbo.get("picked"),
                    "gnn_per_qubit": ev["ler"],
                    "stderr": ev["ler_stderr"], "uf": uf["ler"],
                    "bp_osd": None if bposd is None else bposd["ler"],
@@ -265,13 +288,14 @@ def _write_md(path: str, shots: int, rows: list) -> None:
     with open(path, "w") as f:
         f.write("# Logical error rate: GNN decoder vs classical baselines\n\n")
         f.write(f"Monte-Carlo, {shots} shots per point; stderr ~ binomial.\n\n")
-        f.write("| family | d | p | GNN hybrid | GNN+UF | GNN+MWPM | GNN logical-head | GNN per-qubit | union-find | BP+OSD-0 | MWPM |\n")
-        f.write("|---|---|---|---|---|---|---|---|---|---|---|\n")
+        f.write("| family | d | p | GNN hybrid | GNN+UF | GNN+MWPM | GNN best-of | GNN logical-head | GNN per-qubit | union-find | BP+OSD-0 | MWPM |\n")
+        f.write("|---|---|---|---|---|---|---|---|---|---|---|---|\n")
         for r in rows:
             opt = lambda k: ("—" if r.get(k) is None else f"{r[k]:.4g}")
             f.write(
                 f"| {r['family']} | {r['d']} | {r['p']} | "
                 f"{r['gnn_hybrid']:.4g} | {opt('gnn_uf')} | {opt('gnn_mwpm')} | "
+                f"{opt('gnn_best_of')} | "
                 f"{r['gnn_logical']:.4g} | "
                 f"{r['gnn_per_qubit']:.4g} | {r['uf']:.4g} | {opt('bp_osd')} "
                 f"| {opt('mwpm')} |\n"
