@@ -180,26 +180,98 @@ def main() -> int:
                 print(json.dumps(prevs[p]), flush=True)
                 _write_md(args.out, args.shots, rows)
                 continue
-            try:
-                ev = ler_monte_carlo(apply_fn, restored.params, graph, p=p,
-                                     shots=args.shots, batch=4096,
-                                     key=jax.random.PRNGKey(777))
-            except Exception as e:
-                if apply_fn is model.apply:
-                    raise
-                print(f"pallas decode failed for {spec} "
-                      f"({type(e).__name__}); falling back to XLA",
-                      file=sys.stderr)
-                apply_fn = model.apply
-                ev = ler_monte_carlo(apply_fn, restored.params, graph, p=p,
-                                     shots=args.shots, batch=4096,
-                                     key=jax.random.PRNGKey(777))
             cuf = cache.get((family, d, p, "uf")) if dt == 1 else None
             cbp = cache.get((family, d, p, "bp_osd")) if dt == 1 else None
             cmw = cache.get((family, d, p, "mwpm")) if dt == 1 else None
-            uf = cuf if cuf is not None else ler_union_find(
-                graph, p=p, shots=args.shots, batch=4096,
-                key=jax.random.PRNGKey(777))
+            # one shared Monte-Carlo pass for every GNN-side column (and the
+            # uncached classical baselines): samples once, one GNN forward
+            # per chunk, classical decodes shared across columns — the same
+            # key schedule reproduces the legacy per-column passes
+            # bit-for-bit at a quarter of the work
+            u = None
+            if not args.no_cleanup:
+                from tpugnn.eval.hybrid import ler_all_columns
+
+                def _unified(fn):
+                    return ler_all_columns(
+                        fn, restored.params, graph, p=p, shots=args.shots,
+                        batch=4096, key=jax.random.PRNGKey(777), tau=args.tau,
+                        best_of=not args.no_best_of,
+                        with_mwpm=not args.no_mwpm,
+                        with_uf_raw=cuf is None,
+                        with_mwpm_raw=(not args.no_mwpm
+                                       and (not args.no_best_of
+                                            or cmw is None)))
+
+                try:
+                    u = _unified(apply_fn)
+                except Exception as e:
+                    if apply_fn is not model.apply:
+                        print(f"pallas decode failed for {spec} "
+                              f"({type(e).__name__}); falling back to XLA",
+                              file=sys.stderr)
+                        apply_fn = model.apply
+                        try:
+                            u = _unified(apply_fn)
+                        except Exception as e2:
+                            print(f"unified eval failed for {spec} p={p} "
+                                  f"({type(e2).__name__}: {e2}); legacy "
+                                  "per-column passes", file=sys.stderr)
+                    else:
+                        print(f"unified eval failed for {spec} p={p} "
+                              f"({type(e).__name__}: {e}); legacy "
+                              "per-column passes", file=sys.stderr)
+            guf = gmw = gbo = None
+            uf_inline = mw_inline = None
+            if u is not None:
+                ev = u
+                guf = {"ler": u["gnn_uf"]}
+                gmw = None if u["gnn_mwpm"] is None else {"ler": u["gnn_mwpm"]}
+                gbo = (None if u["gnn_best_of"] is None
+                       else {"ler": u["gnn_best_of"], "picked": u["picked"]})
+                stderr_of = lambda l: (max(l * (1 - l), 1e-12)
+                                       / u["shots"]) ** 0.5
+                if u["uf"] is not None:
+                    uf_inline = {"ler": u["uf"], "shots": u["shots"],
+                                 "ler_stderr": stderr_of(u["uf"])}
+                if u["mwpm"] is not None:
+                    mw_inline = {"ler": u["mwpm"], "shots": u["shots"],
+                                 "ler_stderr": stderr_of(u["mwpm"])}
+            else:
+                try:
+                    ev = ler_monte_carlo(apply_fn, restored.params, graph,
+                                         p=p, shots=args.shots, batch=4096,
+                                         key=jax.random.PRNGKey(777))
+                except Exception as e:
+                    if apply_fn is model.apply:
+                        raise
+                    print(f"pallas decode failed for {spec} "
+                          f"({type(e).__name__}); falling back to XLA",
+                          file=sys.stderr)
+                    apply_fn = model.apply
+                    ev = ler_monte_carlo(apply_fn, restored.params, graph,
+                                         p=p, shots=args.shots, batch=4096,
+                                         key=jax.random.PRNGKey(777))
+                if not args.no_cleanup:
+                    from tpugnn.eval.hybrid import ler_gnn_cleanup
+
+                    try:  # defensive: never lose the table to a hybrid column
+                        guf = ler_gnn_cleanup(
+                            apply_fn, restored.params, graph, p=p,
+                            shots=args.shots, batch=4096, cleanup="uf",
+                            tau=args.tau, key=jax.random.PRNGKey(777))
+                        if not args.no_mwpm:
+                            gmw = ler_gnn_cleanup(
+                                apply_fn, restored.params, graph, p=p,
+                                shots=args.shots, batch=4096, cleanup="mwpm",
+                                tau=args.tau, key=jax.random.PRNGKey(777))
+                    except Exception as e:
+                        print(f"gnn-cleanup failed for {spec} p={p} "
+                              f"({type(e).__name__}: {e})", file=sys.stderr)
+            uf = (cuf if cuf is not None else
+                  uf_inline if uf_inline is not None else
+                  ler_union_find(graph, p=p, shots=args.shots, batch=4096,
+                                 key=jax.random.PRNGKey(777)))
             bposd = (None if args.no_bp else
                      cbp if cbp is not None else
                      ler_bp_osd(graph, p=p, shots=args.shots, batch=4096,
@@ -208,45 +280,13 @@ def main() -> int:
             mwpm = None
             if not args.no_mwpm:
                 try:  # defensive: never lose the table to a baseline column
-                    mwpm = cmw if cmw is not None else ler_mwpm(
-                        graph, p=p, shots=args.shots, batch=4096,
-                        key=jax.random.PRNGKey(777))
+                    mwpm = (cmw if cmw is not None else
+                            mw_inline if mw_inline is not None else
+                            ler_mwpm(graph, p=p, shots=args.shots, batch=4096,
+                                     key=jax.random.PRNGKey(777)))
                 except Exception as e:
                     print(f"mwpm baseline failed for {spec} p={p} "
                           f"({type(e).__name__}: {e})", file=sys.stderr)
-            guf = gmw = gbo = None
-            if not args.no_cleanup:
-                from tpugnn.eval.hybrid import ler_best_of, ler_gnn_cleanup
-
-                try:  # defensive: never lose the table to a hybrid column
-                    guf = ler_gnn_cleanup(
-                        apply_fn, restored.params, graph, p=p,
-                        shots=args.shots, batch=4096, cleanup="uf",
-                        tau=args.tau, key=jax.random.PRNGKey(777))
-                    if not args.no_mwpm:
-                        gmw = ler_gnn_cleanup(
-                            apply_fn, restored.params, graph, p=p,
-                            shots=args.shots, batch=4096, cleanup="mwpm",
-                            tau=args.tau, key=jax.random.PRNGKey(777))
-                except Exception as e:
-                    print(f"gnn-cleanup failed for {spec} p={p} "
-                          f"({type(e).__name__}: {e})", file=sys.stderr)
-                if not args.no_best_of:
-                    # per-shot minimum-weight MAP over every syndrome-
-                    # consistent candidate (GNN heads, cleanup hybrids, raw
-                    # MWPM): by construction never commits a heavier
-                    # correction than exact MWPM's, so this is the
-                    # strongest decode-time rule the stack offers
-                    try:
-                        cands = ("qubit", "logical", "gnn_uf") + (
-                            () if args.no_mwpm else ("gnn_mwpm", "mwpm"))
-                        gbo = ler_best_of(
-                            apply_fn, restored.params, graph, p=p,
-                            shots=args.shots, batch=4096, candidates=cands,
-                            tau=args.tau, key=jax.random.PRNGKey(777))
-                    except Exception as e:
-                        print(f"gnn-best-of failed for {spec} p={p} "
-                              f"({type(e).__name__}: {e})", file=sys.stderr)
             row = {"family": fam_name, "d": d, "p": p,
                    "gnn_hybrid": ev.get("ler_hybrid"),
                    "gnn_logical": ev.get("ler_logical"),

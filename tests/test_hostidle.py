@@ -49,6 +49,9 @@ def test_resume_on_exception(tmp_path):
     pidfile = tmp_path / "tpu_active.pid"
     pidfile.write_text(f"{proc.pid}\n")
     try:
+        # wait for the child to exec so its cmdline carries the queue marker
+        # (without this the pause can race the spawn on a loaded host)
+        time.sleep(0.3)
         try:
             with paused_queue_jobs(str(pidfile), settle_s=0.1):
                 assert _state(proc.pid) == "T"

@@ -36,7 +36,7 @@ from tpugnn.sampling.noise import sample_batch
 from tpugnn.tanner.graph import TannerGraph
 
 __all__ = ["gnn_cleanup_corrections", "ler_gnn_cleanup", "ler_best_of",
-           "logical_head_correction"]
+           "ler_all_columns", "logical_head_correction"]
 
 
 @lru_cache(maxsize=64)
@@ -166,6 +166,177 @@ def ler_gnn_cleanup(
         "shots": float(total),
         "decoder": f"gnn+{cleanup}" + (f"@tau{tau}" if tau is not None else ""),
     }
+
+
+@lru_cache(maxsize=64)
+def _unified_fn(apply_fn: Callable, tau: float | None, batch: int):
+    """Jitted sample+forward chunk emitting everything every hybrid column
+    needs, once: per-shot failure sums for the pure-GNN columns plus uint8
+    corrections/residuals for the host-side classical decodes (uint8 cuts
+    the device->host transfer 4x vs f32 — the host must sync per chunk
+    anyway because the matchers consume these arrays)."""
+    from tpugnn.eval.ler import count_failures
+    from tpugnn.sampling.noise import syndrome as syn_of
+
+    @jax.jit
+    def f(params, graph, k, p_):
+        b = sample_batch(k, graph, p_, batch)
+        out = apply_fn(params, graph, b.syndrome)
+        ex, ez = decode_corrections(out.qubit_logits)
+        ex_g, ez_g = _gated_corrections(out.qubit_logits, tau)
+        s_res = jnp.mod(b.syndrome + syn_of(graph, ex_g, ez_g), 2.0)
+        lex, lez = (logical_head_correction(graph, b.syndrome,
+                                            out.logical_logits)
+                    if out.logical_logits is not None else (ex, ez))
+        fails = count_failures(graph, b, ex, ez, out.logical_logits)
+        sums = {k2: jnp.sum(v) for k2, v in fails.items()}
+        u8 = lambda x: x.astype(jnp.uint8)
+        return (sums, u8(b.ex), u8(b.ez), u8(b.syndrome), u8(ex_g), u8(ez_g),
+                u8(s_res), u8(lex), u8(lez))
+
+    return f
+
+
+def ler_all_columns(
+    apply_fn: Callable,
+    params,
+    graph: TannerGraph,
+    *,
+    p: float,
+    shots: int,
+    batch: int = 4096,
+    key: jax.Array | None = None,
+    tau: float | None = None,
+    best_of: bool = True,
+    with_mwpm: bool = True,
+    with_uf_raw: bool = False,
+    with_mwpm_raw: bool | None = None,
+    force_python: bool = False,
+) -> dict:
+    """Every GNN-side LER column from ONE Monte-Carlo pass.
+
+    The LER table used to run four independent 1M-shot passes per point
+    (plain MC, GNN+UF, GNN+MWPM, best-of), each re-sampling, re-running the
+    GNN forward and re-decoding residuals.  This evaluator samples once per
+    chunk and shares the forward and the classical decodes across columns;
+    the chunk key schedule matches the legacy evaluators (split per chunk
+    from the same master key), so each column reproduces its legacy value
+    bit-for-bit.
+
+    Returns ler / ler_logical / ler_hybrid (+stderr), gnn_uf, gnn_mwpm,
+    gnn_best_of (+picked), and optionally the raw union-find / MWPM
+    baselines computed inline on the same shots (``with_uf_raw`` /
+    ``with_mwpm_raw``; raw MWPM is on by default whenever ``best_of`` and
+    ``with_mwpm`` are, since the best-of candidate set needs it anyway).
+    """
+    from tpugnn.baselines.union_find import UnionFindDecoder
+
+    uf = UnionFindDecoder(graph, force_python=force_python)
+    mw = None
+    if with_mwpm:
+        from tpugnn.baselines.mwpm import MWPMDecoder
+
+        mw = MWPMDecoder(graph, p=p, force_python=force_python)
+    if with_mwpm_raw is None:
+        with_mwpm_raw = best_of and with_mwpm
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    n = graph.n_qubits
+    hx = np.asarray(graph.h_syn_ez)[: graph.n_checks, :n].astype(np.uint8)
+    hz = np.asarray(graph.h_syn_ex)[: graph.n_checks, :n].astype(np.uint8)
+    lx = np.asarray(graph.logicals_x)[:, :n].astype(np.uint8)
+    lz = np.asarray(graph.logicals_z)[:, :n].astype(np.uint8)
+
+    def fail_of(cex, cez, ex, ez):
+        rx = (ex[:, :n] ^ cex) & 1
+        rz = (ez[:, :n] ^ cez) & 1
+        sm = ((rx @ hz.T) % 2).any(axis=1) | ((rz @ hx.T) % 2).any(axis=1)
+        lf = ((rx @ lz.T) % 2).any(axis=1) | ((rz @ lx.T) % 2).any(axis=1)
+        return sm | lf
+
+    fwd = _unified_fn(apply_fn, tau, batch)
+    sums: dict = {}
+    counters = {"gnn_uf": 0, "gnn_mwpm": 0, "best_of": 0, "uf": 0, "mwpm": 0}
+    cand_names = ["qubit", "logical", "gnn_uf"]
+    if with_mwpm:
+        cand_names += ["gnn_mwpm", "mwpm"] if with_mwpm_raw else ["gnn_mwpm"]
+    picked = np.zeros(len(cand_names), np.int64)
+    total = 0
+    for _ in range(max(1, (shots + batch - 1) // batch)):
+        key, sub = jax.random.split(key)
+        s, ex, ez, syn, ex_g, ez_g, s_res, lex, lez = fwd(params, graph, sub, p)
+        for k2, v in s.items():
+            sums[k2] = sums[k2] + v if k2 in sums else v
+        ex, ez = np.asarray(ex), np.asarray(ez)
+        syn = np.asarray(syn)
+        exg = np.asarray(ex_g)[:, :n]
+        ezg = np.asarray(ez_g)[:, :n]
+        s_res = np.asarray(s_res)
+        lex, lez = np.asarray(lex)[:, :n], np.asarray(lez)[:, :n]
+        bsz = exg.shape[0]
+
+        exu, ezu = uf.decode(s_res)
+        cands = {"qubit": (exg, ezg),
+                 "logical": (lex, lez),
+                 "gnn_uf": (exg ^ exu.astype(np.uint8),
+                            ezg ^ ezu.astype(np.uint8))}
+        if with_mwpm:
+            exm, ezm = mw.decode(s_res)
+            cands["gnn_mwpm"] = (exg ^ exm.astype(np.uint8),
+                                 ezg ^ ezm.astype(np.uint8))
+            if with_mwpm_raw:
+                exmr, ezmr = mw.decode(syn)
+                cands["mwpm"] = (exmr.astype(np.uint8), ezmr.astype(np.uint8))
+                counters["mwpm"] += int(fail_of(*cands["mwpm"], ex, ez).sum())
+        if with_uf_raw:
+            exur, ezur = uf.decode(syn)
+            counters["uf"] += int(
+                fail_of(exur.astype(np.uint8), ezur.astype(np.uint8),
+                        ex, ez).sum())
+        counters["gnn_uf"] += int(fail_of(*cands["gnn_uf"], ex, ez).sum())
+        if with_mwpm:
+            counters["gnn_mwpm"] += int(fail_of(*cands["gnn_mwpm"], ex, ez).sum())
+
+        if best_of:
+            weights = np.full((len(cand_names), bsz), np.inf)
+            for i, name in enumerate(cand_names):
+                cex, cez = cands[name]
+                w = (cex | cez).sum(axis=1).astype(np.float64)
+                if name == "qubit":
+                    s_hat = ((cex @ hz.T) + (cez @ hx.T)) % 2
+                    sm = (s_hat != syn[:, : hz.shape[0]]).any(axis=1)
+                    w = np.where(sm, np.inf, w)
+                weights[i] = w
+            choice = np.argmin(weights, axis=0)
+            for i in range(len(cand_names)):
+                picked[i] += int((choice == i).sum())
+            ex_hat = np.take_along_axis(
+                np.stack([cands[c][0] for c in cand_names]),
+                choice[None, :, None], axis=0)[0]
+            ez_hat = np.take_along_axis(
+                np.stack([cands[c][1] for c in cand_names]),
+                choice[None, :, None], axis=0)[0]
+            counters["best_of"] += int(fail_of(ex_hat, ez_hat, ex, ez).sum())
+        total += bsz
+
+    sums = {k2: float(v) for k2, v in sums.items()}
+    ler = sums.get("fail_qubit", 0.0) / total
+    out = {
+        "ler": ler,
+        "ler_stderr": (max(ler * (1 - ler), 1e-12) / total) ** 0.5,
+        "shots": float(total),
+        "gnn_uf": counters["gnn_uf"] / total,
+        "gnn_mwpm": (counters["gnn_mwpm"] / total) if with_mwpm else None,
+        "gnn_best_of": (counters["best_of"] / total) if best_of else None,
+        "picked": ({c: int(picked[i]) for i, c in enumerate(cand_names)}
+                   if best_of else None),
+        "uf": (counters["uf"] / total) if with_uf_raw else None,
+        "mwpm": (counters["mwpm"] / total) if with_mwpm_raw else None,
+    }
+    if "fail_logical" in sums:
+        out["ler_logical"] = sums["fail_logical"] / total
+        out["ler_hybrid"] = sums["fail_hybrid"] / total
+    return out
 
 
 def logical_head_correction(graph: TannerGraph, syndrome_batch, logical_logits):
