@@ -107,3 +107,30 @@ def test_best_of_runs_and_tracks_best_member(setup):
     # min-weight selection over a set containing gnn_mwpm should not be
     # dramatically worse than gnn_mwpm alone (statistical smoke bound)
     assert res["ler"] <= mw["ler"] + 3 * mw["ler_stderr"] + 0.02
+
+
+def test_unified_matches_legacy_columns(setup):
+    """ler_all_columns must reproduce each legacy evaluator bit-for-bit:
+    same master key => same chunk key schedule => same sampled shots and
+    identical per-column failure counts."""
+    from tpugnn.eval.hybrid import ler_all_columns
+    from tpugnn.eval.ler import ler_monte_carlo
+
+    graph, model, state = setup
+    kw = dict(p=0.06, shots=512, batch=256, key=jax.random.PRNGKey(11))
+    u = ler_all_columns(model.apply, state.params, graph,
+                        with_uf_raw=True, **kw)
+    ev = ler_monte_carlo(model.apply, state.params, graph, **kw)
+    guf = ler_gnn_cleanup(model.apply, state.params, graph, cleanup="uf", **kw)
+    gmw = ler_gnn_cleanup(model.apply, state.params, graph, cleanup="mwpm",
+                          **kw)
+    gbo = ler_best_of(model.apply, state.params, graph, **kw)
+    uf = ler_union_find(graph, **kw)
+    assert u["ler"] == ev["ler"]
+    assert u["ler_logical"] == ev["ler_logical"]
+    assert u["ler_hybrid"] == ev["ler_hybrid"]
+    assert u["gnn_uf"] == guf["ler"]
+    assert u["gnn_mwpm"] == gmw["ler"]
+    assert u["gnn_best_of"] == gbo["ler"]
+    assert u["picked"] == gbo["picked"]
+    assert u["uf"] == uf["ler"]
