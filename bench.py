@@ -204,15 +204,18 @@ def _report(args, results) -> int:
         line["profile_dir"] = args.profile
     print(json.dumps(line))
     # also persist to benchmarks/bench_latest.json regardless of where the
-    # caller redirects stdout (round-1 queue runs left it stale)
-    try:
-        latest = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "benchmarks", "bench_latest.json")
-        with open(latest, "w") as f:
-            json.dump(line, f, indent=1)
-            f.write("\n")
-    except OSError as e:
-        print(f"bench_latest.json not written: {e}", file=sys.stderr)
+    # caller redirects stdout (round-1 queue runs left it stale) — but only
+    # real-hardware runs: a CPU smoke (tests, dev loops) must never clobber
+    # the published TPU headline
+    if line.get("platform") == "tpu":
+        try:
+            latest = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "benchmarks", "bench_latest.json")
+            with open(latest, "w") as f:
+                json.dump(line, f, indent=1)
+                f.write("\n")
+        except OSError as e:
+            print(f"bench_latest.json not written: {e}", file=sys.stderr)
     return 0
 
 

@@ -16,18 +16,28 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _jsonl(path):
+    """Rows from a JSONL file, or a 1-row list for a whole-file JSON doc
+    (bench_latest.json is pretty-printed)."""
     rows = []
     try:
         with open(os.path.join(ROOT, path)) as f:
-            for line in f:
-                line = line.strip()
-                if line.startswith("{"):
-                    try:
-                        rows.append(json.loads(line))
-                    except Exception:
-                        pass
+            text = f.read()
     except OSError:
-        pass
+        return rows
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                rows.append(json.loads(line))
+            except Exception:
+                pass
+    if not rows:
+        try:
+            doc = json.loads(text)
+            if isinstance(doc, dict):
+                rows = [doc]
+        except Exception:
+            pass
     return rows
 
 
@@ -36,9 +46,22 @@ def main() -> int:
            "Regenerate with `python benchmarks/collect_results.py` after "
            "a queue drain.\n"]
 
-    bench = _jsonl("runs/bench_prod_variants.json")
-    if bench:
-        b = bench[-1]
+    # newest REAL-HARDWARE bench artifact wins (bench.py self-persists
+    # bench_latest.json for TPU runs; CPU smokes never qualify)
+    bench_paths = ["benchmarks/bench_latest.json", "runs/bench_r2.json",
+                   "runs/bench_prod_variants.json"]
+    bench_paths = [p for p in bench_paths
+                   if os.path.exists(os.path.join(ROOT, p))]
+    bench_paths.sort(key=lambda p: os.path.getmtime(os.path.join(ROOT, p)),
+                     reverse=True)
+    b = None
+    for p in bench_paths:
+        rows = [r for r in _jsonl(p) if r.get("platform") == "tpu"
+                and "value" in r]
+        if rows:
+            b = rows[-1]
+            break
+    if b:
         out.append("## Headline decode throughput (bench.py)\n")
         out.append("```json\n" + json.dumps(b, indent=1) + "\n```\n")
 
@@ -48,7 +71,9 @@ def main() -> int:
                "GNN+MWPM residual-cleanup hybrids).\n")
     for extra, title in (("benchmarks/LER_TORIC.md", "toric-code table"),
                          ("benchmarks/LER_D11_P001.md",
-                          "d=11 p=0.01 high-shot resolution")):
+                          "d=11 p=0.01 high-shot resolution"),
+                         ("benchmarks/LER_DETECTOR.md",
+                          "circuit-level + spacetime detector graphs")):
         if os.path.exists(os.path.join(ROOT, extra)):
             out.append(f"Also: `{extra}` ({title}).\n")
 
@@ -83,10 +108,30 @@ def main() -> int:
                            f"{r['medges_per_s']} |\n")
         out.append("\n")
 
+    pa2 = _jsonl("runs/probe_ablate_r2.json")
+    if pa2:
+        out.append("## Kernel ablation attribution (d=11, round 2)\n")
+        out.append("| variant | step ms | M edges/s |\n|---|---|---|\n")
+        for r in pa2:
+            if "step_ms" in r:
+                out.append(f"| {r['variant']} | {r['step_ms']} | "
+                           f"{r['medges_per_s']} |\n")
+        out.append("\n")
+
     pt = _jsonl("runs/probe_train_step.json")
     if pt:
         out.append("## Training-step backends (d=11)\n")
         out.append("```json\n" + "\n".join(json.dumps(r) for r in pt) + "\n```\n")
+    for path, title in (("runs/probe_train_r14.json",
+                         "Training-step probe, R=14 kernel backward"),
+                        ("runs/probe_train_r8_r2e.json",
+                         "Training-step probe, R=8 kernel backward "
+                         "(vs 142.97 ms round-1 row)")):
+        pr = _jsonl(path)
+        if pr:
+            out.append(f"## {title}\n")
+            out.append("```json\n" + "\n".join(json.dumps(r) for r in pr)
+                       + "\n```\n")
 
     nw = _jsonl("runs/probe_narrow_h96.json")
     if nw:
