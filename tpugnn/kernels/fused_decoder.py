@@ -47,9 +47,13 @@ __all__ = [
 # compiler's own scoped-allocation reports on v5e (TB=16: 23.9 MB, TB=32:
 # 41.8 MB for the d=11/H=128 kernel -> ~11-12 bytes per slot element);
 # the 64 MB ceiling was validated on hardware (TB=32 compiles and runs).
-_VMEM_BUDGET = 56 * 1024 * 1024
+import os as _os
+
+# Env-overridable for hardware probes (e.g. TB=64 needs ~78 MB scoped VMEM,
+# beyond the 64 MB validated on v5e so far): TPUGNN_VMEM_LIMIT_MB=100
+_VMEM_LIMIT = int(_os.environ.get("TPUGNN_VMEM_LIMIT_MB", 64)) * 1024 * 1024
+_VMEM_BUDGET = _VMEM_LIMIT - 8 * 1024 * 1024
 _VMEM_COEF = 12.0
-_VMEM_LIMIT = 64 * 1024 * 1024  # Mosaic scoped-VMEM ceiling for the kernel
 
 # Exact-rewrite kernel variants promoted to the production default after
 # hardware attribution (benchmarks/probe_kernel_attrib.py).  Callers that
