@@ -88,6 +88,8 @@ def test_sumrelu_variant_matches_base():
     base = decoder_rounds(xc, xq, syn, ops, weights, **kw)
     for ablate in (("sumrelu",), ("fold",), ("interleave",), ("ln1pass",),
                    ("fold", "biasfold"),
+                   ("biggather",),
+                   ("sumrelu", "fold", "biggather"),
                    ("sumrelu", "fold", "interleave"),
                    ("sumrelu", "fold", "interleave", "ln1pass", "biasfold")):
         alt = decoder_rounds(xc, xq, syn, ops, weights, ablate=ablate, **kw)

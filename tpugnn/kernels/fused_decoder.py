@@ -209,6 +209,10 @@ def _make_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt, ablate=frozenset()):
                    (uc_b0/uq_b0) are round-invariant, so prep_operators
                    folds them into the degbo_* aggregation constants — two
                    broadcast adds fewer per round
+      biggather  — EXACT: all D slot gathers in one [D*rows, src] GEMM per
+                   direction (the pre-slot-chunking layout) — amortizes MXU
+                   pipeline fill across slots; costs a [D*rows, TB, MH]
+                   live tensor, so pair with TB<=16.  Overrides interleave.
     """
 
     def dot2(a, b):
@@ -297,6 +301,28 @@ def _make_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt, ablate=frozenset()):
             if "oneslot" in ablate:
                 d = 1
             nydb = -ydb if use_max else None
+            if "biggather" in ablate and d > 1:
+                # EXACT: all d slots in ONE [d*rows, src] x [src, TB*MH]
+                # GEMM — a 4x-taller matmul amortizes MXU pipeline
+                # fill/drain across slots at the cost of a [d*rows, TB, MH]
+                # live tensor (the original pre-slot-chunking layout; fits
+                # comfortably at TB<=16 under the 64 MB scoped limit).  The
+                # VPU relu/accumulate passes stay per-slot via static
+                # sublane slices, so the reduction order — and therefore
+                # the f32 sum — is identical to the chunked form.
+                rows = g.shape[1]
+                zz = gdot(g.reshape(d * rows, g.shape[2]), ys)
+                hs = None
+                for k in range(d):
+                    zk = zz[k * rows:(k + 1) * rows]
+                    if "noslotrelu" in ablate:
+                        t = zk
+                    elif use_max:
+                        t = jnp.maximum(zk, nydb)
+                    else:
+                        t = jax.nn.relu(zk + ydb)
+                    hs = t if hs is None else hs + t
+                return slot_final(hs, ydb, defc, d)
             hs = None
             for k in range(d):
                 t = slot_term(g[k], ys, ydb, nydb)
@@ -335,11 +361,14 @@ def _make_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt, ablate=frozenset()):
             xc_ux = yc[..., 2*MH:]                       # xc @ uc_x (f32)
             xq_ux = yq[..., 2*MH:]                       # xq @ uq_x
 
-            if "interleave" in ablate:
+            if "interleave" in ablate and "biggather" not in ablate:
                 hs_c, hs_q = slot_sum_interleaved(ys_c, ydb_c, ys_q, ydb_q)
                 hs_c = hs_c.astype(cdt)
                 hs_q = hs_q.astype(cdt)
             else:
+                # biggather overrides interleave: the single tall gather
+                # GEMM per direction already gives the scheduler adjacent
+                # independent MXU/VPU work
                 hs_c = slot_sum(g_c, ys_c, ydb_c, defc_c, Dc).astype(cdt)
                 hs_q = slot_sum(g_q, ys_q, ydb_q, defc_q, Dq).astype(cdt)
             if "fold" in ablate:
