@@ -66,22 +66,26 @@ def bench_backend(backend: str, *, d: int, batch: int, rounds: int, hidden: int,
     from tpugnn.tanner import build_code
 
     graph = build_code("surface", d)
-    cfg = ModelConfig(hidden=hidden, msg_hidden=hidden, rounds=rounds,
-                      backend=backend, readout="per_qubit", dtype="bfloat16")
     # params come from the 'fused' layout so every backend (incl. the
-    # Pallas kernel decoder) shares one parameter tree
-    init_cfg = cfg if backend != "pallas" else ModelConfig(
+    # Pallas kernel decoder and its schedule variants) shares one
+    # parameter tree
+    init_cfg = ModelConfig(
         hidden=hidden, msg_hidden=hidden, rounds=rounds,
-        backend="fused", readout="per_qubit", dtype="bfloat16")
+        backend="fused" if backend.startswith("pallas") else backend,
+        readout="per_qubit", dtype="bfloat16")
     model = GNNDecoder(init_cfg, k=graph.k)
     key = jax.random.PRNGKey(0)
     params = model.init(key, graph, jnp.zeros((2, graph.n_checks_pad)))
     b = sample_batch(key, graph, 0.05, batch)
 
-    if backend == "pallas":
+    if backend.startswith("pallas"):
         from tpugnn.models.pallas_decoder import PallasDecoder
 
-        apply_fn = PallasDecoder(init_cfg, k=graph.k).apply
+        # pallas = promoted schedule; pallas_bg = biggather candidate (all
+        # D slot gathers in one tall GEMM, TB capped at 16)
+        schedule = (("sumrelu", "fold", "biggather")
+                    if backend == "pallas_bg" else None)
+        apply_fn = PallasDecoder(init_cfg, k=graph.k, schedule=schedule).apply
     else:
         apply_fn = model.apply
 
@@ -125,12 +129,13 @@ def main() -> int:
         args.d, args.batch, args.rounds, args.hidden = 3, 256, 4, 32
     iters = 3 if args.quick else 5
 
-    # default: the Pallas kernel, the best XLA path, and the reference-style
-    # baseline; --all-backends adds the rest (each backend costs a multi-
-    # minute remote compile through the axon tunnel)
-    candidates = ["pallas", "dense", "segment"]
+    # default: the Pallas kernel (promoted schedule + the biggather
+    # candidate), the best XLA path, and the reference-style baseline;
+    # --all-backends adds the rest (each backend costs a multi-minute
+    # remote compile through the axon tunnel)
+    candidates = ["pallas", "pallas_bg", "dense", "segment"]
     if args.all_backends:
-        candidates[1:1] = ["fused", "ell"]
+        candidates[2:2] = ["fused", "ell"]
 
     if jax.default_backend() == "tpu":
         # TPU timings are garbage while the host CPU is busy (relay

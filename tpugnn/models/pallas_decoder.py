@@ -60,7 +60,8 @@ class PallasDecoder:
     """
 
     def __init__(self, cfg: ModelConfig, k: int, *, interpret: bool | None = None,
-                 trainable: bool = False, backward: str = "pallas"):
+                 trainable: bool = False, backward: str = "pallas",
+                 schedule: tuple | None = None):
         if not cfg.weight_tied:
             raise ValueError("PallasDecoder supports weight-tied rounds only")
         if cfg.aggr != "sum":
@@ -74,6 +75,10 @@ class PallasDecoder:
         self.interpret = interpret
         self.trainable = trainable
         self.backward = backward
+        # kernel schedule-variant override (exact rewrites only; None ->
+        # fused_decoder.PROD_VARIANTS).  Used by bench/probe harnesses to
+        # A/B candidate schedules like biggather.
+        self.schedule = tuple(schedule) if schedule is not None else None
 
     def apply(self, params, graph: TannerGraph, syndrome: jnp.ndarray) -> DecoderOutput:
         if not self.trainable:
@@ -188,6 +193,11 @@ class PallasDecoder:
         else:
             slots = max(ops[0].shape[0], ops[3].shape[0])
             tb = pick_block_batch(slots, cfg.msg_hidden, cdt.itemsize, batch)
+            if self.schedule is not None and "biggather" in self.schedule:
+                # biggather keeps a [D*rows, TB, MH] slot tensor live
+                tb = min(tb, 16)
+                while batch % tb:
+                    tb //= 2
         nblk = batch // tb
         w = roundweights_from_flax(p["rounds"])
 
@@ -232,7 +242,7 @@ class PallasDecoder:
             xc_o, xq_o = decoder_rounds_tiled(
                 xc_t.astype(cdt), xq_t.astype(cdt), syn_ucs, ops, w,
                 rounds=cfg.rounds, interpret=self.interpret,
-                compute_dtype=cfg.dtype,
+                compute_dtype=cfg.dtype, ablate=self.schedule,
             )
 
         qubit_logits = None
