@@ -146,8 +146,11 @@ def _round_fwd(xc, xq, consts, *, want_residuals: bool, ablate=frozenset()):
             # the slot relu's subgradient mask, saved for the adjoint so it
             # does not redo this gather GEMM just to rebuild the mask (the
             # sumrelu rewrite shares the same (zk + ydb > 0) condition:
-            # max(zk, -ydb) is non-constant in zk exactly when zk > -ydb)
-            masks.append(((zk + ydb) > 0).astype(f32))
+            # max(zk, -ydb) is non-constant in zk exactly when zk > -ydb).
+            # Stored in the compute dtype: exactly 0.0/1.0 either way, and
+            # cdt halves the masks' VMEM so the batch tile stays at the
+            # pre-mask size.
+            masks.append(((zk + ydb) > 0).astype(cdt))
         if use_max:
             return jnp.maximum(zk, nydb)
         return jax.nn.relu(zk + ydb)
@@ -652,14 +655,16 @@ def train_block_batch(operators: tuple, mh: int, compute_dtype, batch: int,
     """Batch tile for the TRAINING kernels (tighter than inference).
 
     The backward's working set (~3x forward) + the round-state stash bound
-    the tile; the +4 covers the f32 per-slot subgradient masks the replay
-    saves for the adjoint (Dc+Dq slot-shaped tensors live from replay to
-    adjoint).
+    the tile.  The cdt per-slot subgradient masks the replay saves for the
+    adjoint add ~0.3 slot-units (well inside the estimate's 8 MB headroom),
+    so the coefficient matches the pre-mask calibration — at the flagship
+    R=14 shape the tile boundary sits at 55/56 MB and any padding of the
+    coefficient would needlessly halve TB.
     """
     slots = max(operators[0].shape[0], operators[3].shape[0])
     cdt = jnp.dtype(compute_dtype)
     return fd.pick_block_batch(
-        slots * (6 + rounds // 4), mh, cdt.itemsize, batch, block_batch
+        slots * (2 + rounds // 4), mh, cdt.itemsize, batch, block_batch
     )
 
 
