@@ -94,3 +94,27 @@ def test_data_parallel_validates():
     with pytest.raises(ValueError, match="devices"):
         DecodeEngine(cfg, state.params, graph, max_batch=32,
                      data_parallel=4096)
+
+
+def test_best_of_serving_is_syndrome_consistent():
+    """cleanup='best_of': every served correction reproduces the observed
+    syndrome (all candidates are consistent; the raw head is gated out when
+    it is not), even for an untrained GNN."""
+    cfg = ExperimentConfig(
+        code=CodeConfig(family="surface", distance=3, p=0.05),
+        model=ModelConfig(hidden=16, msg_hidden=16, rounds=2, backend="fused",
+                          readout="both", qubit_head="pauli4"),
+    )
+    graph = build_code("surface", 3)
+    state, _ = init_state(cfg, graph)
+    eng = DecodeEngine(cfg, state.params, graph, max_batch=32,
+                       cleanup="best_of")
+    b = sample_batch(jax.random.PRNGKey(3), graph, 0.08, 48)
+    syn = np.asarray(b.syndrome)[:, : graph.n_checks]
+    corr = eng.decode(syn)
+    assert corr.shape == (48, graph.n_qubits, 2)
+    n = graph.n_qubits
+    h_ex = np.asarray(graph.h_syn_ex)[: graph.n_checks, :n].astype(np.uint8)
+    h_ez = np.asarray(graph.h_syn_ez)[: graph.n_checks, :n].astype(np.uint8)
+    s_hat = ((corr[:, :, 0] @ h_ex.T) + (corr[:, :, 1] @ h_ez.T)) % 2
+    np.testing.assert_array_equal(s_hat, syn.astype(np.uint8))

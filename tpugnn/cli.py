@@ -131,6 +131,14 @@ def main(argv: list[str] | None = None) -> int:
                                  "(default: <in>.corrections.npy or stdout "
                                  "summary only)")
             sp.add_argument("--max-batch", type=int, default=4096)
+            sp.add_argument("--cleanup", default=None,
+                            choices=["uf", "mwpm", "best_of"],
+                            help="serve the GNN+classical hybrid (classical "
+                                 "repair of the residual syndrome; best_of "
+                                 "= per-shot min-weight MAP over GNN/"
+                                 "cleanup/MWPM candidates)")
+            sp.add_argument("--tau", type=float, default=None,
+                            help="confidence gate for --cleanup")
     args = ap.parse_args(argv)
     if args.cpu:
         _force_cpu()
@@ -181,7 +189,8 @@ def main(argv: list[str] | None = None) -> int:
                 state = restored
         else:
             state, _ = init_state(cfg, graph)
-        eng = DecodeEngine(cfg, state.params, graph, max_batch=args.max_batch)
+        eng = DecodeEngine(cfg, state.params, graph, max_batch=args.max_batch,
+                           cleanup=args.cleanup, cleanup_tau=args.tau)
         if args.infile:
             syn = np.load(args.infile)
         else:

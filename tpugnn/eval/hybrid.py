@@ -36,7 +36,38 @@ from tpugnn.sampling.noise import sample_batch
 from tpugnn.tanner.graph import TannerGraph
 
 __all__ = ["gnn_cleanup_corrections", "ler_gnn_cleanup", "ler_best_of",
-           "ler_all_columns", "logical_head_correction"]
+           "ler_all_columns", "logical_head_correction", "min_weight_select"]
+
+
+def min_weight_select(cand_names, cands, syn, hz, hx):
+    """Per-shot minimum-weight selection over candidate corrections.
+
+    ``cands`` maps name -> (ex, ez) uint8 [B, n]; ``syn`` is the observed
+    syndrome uint8 [B, >=n_checks].  Every candidate except "qubit" is
+    assumed syndrome-consistent by construction; the raw "qubit" head is
+    assigned infinite weight when its syndrome mismatches.  The weight is
+    the Y-aware depolarizing |support(ex OR ez)| (X, Y, Z equiprobable
+    single events, so a Y costs ONE unit).  Returns (ex_hat, ez_hat,
+    choice[B]).
+    """
+    bsz = next(iter(cands.values()))[0].shape[0]
+    weights = np.full((len(cand_names), bsz), np.inf)
+    for i, name in enumerate(cand_names):
+        cex, cez = cands[name]
+        w = (cex | cez).sum(axis=1).astype(np.float64)
+        if name == "qubit":
+            s_hat = ((cex @ hz.T) + (cez @ hx.T)) % 2
+            sm = (s_hat != syn[:, : hz.shape[0]]).any(axis=1)
+            w = np.where(sm, np.inf, w)
+        weights[i] = w
+    choice = np.argmin(weights, axis=0)
+    ex_hat = np.take_along_axis(
+        np.stack([cands[c][0] for c in cand_names]),
+        choice[None, :, None], axis=0)[0]
+    ez_hat = np.take_along_axis(
+        np.stack([cands[c][1] for c in cand_names]),
+        choice[None, :, None], axis=0)[0]
+    return ex_hat, ez_hat, choice
 
 
 @lru_cache(maxsize=64)
@@ -298,24 +329,10 @@ def ler_all_columns(
             counters["gnn_mwpm"] += int(fail_of(*cands["gnn_mwpm"], ex, ez).sum())
 
         if best_of:
-            weights = np.full((len(cand_names), bsz), np.inf)
-            for i, name in enumerate(cand_names):
-                cex, cez = cands[name]
-                w = (cex | cez).sum(axis=1).astype(np.float64)
-                if name == "qubit":
-                    s_hat = ((cex @ hz.T) + (cez @ hx.T)) % 2
-                    sm = (s_hat != syn[:, : hz.shape[0]]).any(axis=1)
-                    w = np.where(sm, np.inf, w)
-                weights[i] = w
-            choice = np.argmin(weights, axis=0)
+            ex_hat, ez_hat, choice = min_weight_select(
+                cand_names, cands, syn, hz, hx)
             for i in range(len(cand_names)):
                 picked[i] += int((choice == i).sum())
-            ex_hat = np.take_along_axis(
-                np.stack([cands[c][0] for c in cand_names]),
-                choice[None, :, None], axis=0)[0]
-            ez_hat = np.take_along_axis(
-                np.stack([cands[c][1] for c in cand_names]),
-                choice[None, :, None], axis=0)[0]
             counters["best_of"] += int(fail_of(ex_hat, ez_hat, ex, ez).sum())
         total += bsz
 

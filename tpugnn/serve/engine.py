@@ -74,7 +74,22 @@ class DecodeEngine:
         # residual syndrome; union-find/MWPM repairs it host-side and the
         # combined correction is syndrome-consistent by construction
         self._cleanup_dec = None
-        if cleanup is not None:
+        self._best_of = cleanup == "best_of"
+        if self._best_of:
+            # strongest deployed rule: per-shot minimum-weight MAP over
+            # {gated qubit head, realized logical head, GNN+UF, GNN+MWPM,
+            # raw MWPM} — never commits a heavier correction than MWPM's
+            from tpugnn.baselines.mwpm import MWPMDecoder
+            from tpugnn.baselines.union_find import UnionFindDecoder
+
+            self._uf = UnionFindDecoder(self.graph)
+            self._mw = MWPMDecoder(self.graph, p=cfg.code.p)
+            n = self.graph.n_qubits
+            self._hx = np.asarray(self.graph.h_syn_ez)[
+                : self.graph.n_checks, :n].astype(np.uint8)
+            self._hz = np.asarray(self.graph.h_syn_ex)[
+                : self.graph.n_checks, :n].astype(np.uint8)
+        elif cleanup is not None:
             if cleanup == "uf":
                 from tpugnn.baselines.union_find import UnionFindDecoder
 
@@ -91,6 +106,25 @@ class DecodeEngine:
                 out = apply_fn(params, graph_, syndrome)
                 ex, ez = decode_corrections(out.qubit_logits)
                 return jnp.stack([ex, ez], axis=-1)
+        elif self._best_of:
+            from tpugnn.eval.hybrid import (
+                _gated_corrections,
+                logical_head_correction,
+            )
+            from tpugnn.sampling.noise import syndrome as _syn_of
+
+            def _decode(params, syndrome):
+                out = apply_fn(params, graph_, syndrome)
+                ex, ez = _gated_corrections(out.qubit_logits, cleanup_tau)
+                s_res = jnp.mod(syndrome + _syn_of(graph_, ex, ez), 2.0)
+                lex, lez = (logical_head_correction(
+                    graph_, syndrome, out.logical_logits)
+                    if out.logical_logits is not None else (ex, ez))
+                s2 = jnp.stack([s_res, jnp.zeros_like(s_res)], axis=-1)
+                return jnp.concatenate(
+                    [jnp.stack([ex, ez], axis=-1), s2,
+                     jnp.stack([lex, lez], axis=-1)], axis=1
+                )  # [B, n_pad + m_pad + n_pad, 2]
         else:
             from tpugnn.eval.hybrid import _gated_corrections
             from tpugnn.sampling.noise import syndrome as _syn_of
@@ -171,6 +205,30 @@ class DecodeEngine:
         full = np.concatenate(outs, axis=0).astype(np.uint8)
         n_pad = self.graph.n_qubits_pad
         n = self.graph.n_qubits
+        if self._best_of:
+            from tpugnn.eval.hybrid import min_weight_select
+
+            exg = full[:, :n, 0]
+            ezg = full[:, :n, 1]
+            s_res = full[:, n_pad : n_pad + m_pad, 0]
+            lex = full[:, n_pad + m_pad : n_pad + m_pad + n, 0]
+            lez = full[:, n_pad + m_pad : n_pad + m_pad + n, 1]
+            exu, ezu = self._uf.decode(s_res)
+            exm, ezm = self._mw.decode(s_res)
+            exr, ezr = self._mw.decode(s[:b])
+            cands = {
+                "qubit": (exg, ezg),
+                "logical": (lex, lez),
+                "gnn_uf": (exg ^ exu.astype(np.uint8),
+                           ezg ^ ezu.astype(np.uint8)),
+                "gnn_mwpm": (exg ^ exm.astype(np.uint8),
+                             ezg ^ ezm.astype(np.uint8)),
+                "mwpm": (exr.astype(np.uint8), ezr.astype(np.uint8)),
+            }
+            ex_hat, ez_hat, _ = min_weight_select(
+                tuple(cands), cands, s[:b].astype(np.uint8),
+                self._hz, self._hx)
+            return np.stack([ex_hat, ez_hat], axis=-1).astype(np.uint8)
         if self._cleanup_dec is None:
             return full[:, :n, :]
         corr = full[:, :n_pad, :]
