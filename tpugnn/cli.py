@@ -115,10 +115,13 @@ def main(argv: list[str] | None = None) -> int:
                             help="also report union-find + exact-MWPM "
                                  "decoder LER per p")
         if name in ("eval", "sweep"):
-            sp.add_argument("--cleanup", choices=["uf", "mwpm"], default=None,
+            sp.add_argument("--cleanup", default=None,
+                            choices=["uf", "mwpm", "best_of"],
                             help="also report the GNN+cleanup hybrid LER "
                                  "(per-qubit correction + classical repair "
-                                 "of the residual syndrome)")
+                                 "of the residual syndrome; best_of = "
+                                 "per-shot min-weight MAP over GNN/cleanup/"
+                                 "MWPM candidates)")
             sp.add_argument("--tau", type=float, default=None,
                             help="confidence gate for --cleanup (keep GNN "
                                  "flips with posterior max-prob >= tau)")
@@ -239,13 +242,20 @@ def main(argv: list[str] | None = None) -> int:
                    "p": p, **{k: ev[k] for k in ("ler", "ler_stderr", "shots")},
                    **({"ler_logical": ev["ler_logical"]} if "ler_logical" in ev else {})}
             if getattr(args, "cleanup", None):
-                from tpugnn.eval.hybrid import ler_gnn_cleanup
+                from tpugnn.eval.hybrid import ler_best_of, ler_gnn_cleanup
 
-                hy = ler_gnn_cleanup(
-                    model.apply, state.params, graph, p=p, shots=args.shots,
-                    batch=min(args.shots, 4096), cleanup=args.cleanup,
-                    tau=args.tau,
-                    key=jax.random.PRNGKey(cfg.train.seed + 99))
+                if args.cleanup == "best_of":
+                    hy = ler_best_of(
+                        model.apply, state.params, graph, p=p,
+                        shots=args.shots, batch=min(args.shots, 4096),
+                        tau=args.tau,
+                        key=jax.random.PRNGKey(cfg.train.seed + 99))
+                else:
+                    hy = ler_gnn_cleanup(
+                        model.apply, state.params, graph, p=p,
+                        shots=args.shots, batch=min(args.shots, 4096),
+                        cleanup=args.cleanup, tau=args.tau,
+                        key=jax.random.PRNGKey(cfg.train.seed + 99))
                 row[f"gnn_{args.cleanup}_ler"] = hy["ler"]
             if getattr(args, "baseline", False):
                 from tpugnn.eval.baseline import ler_mwpm, ler_union_find
