@@ -79,13 +79,21 @@ def bench_backend(backend: str, *, d: int, batch: int, rounds: int, hidden: int,
     b = sample_batch(key, graph, 0.05, batch)
 
     if backend.startswith("pallas"):
+        from tpugnn.kernels import fused_decoder as fd
         from tpugnn.models.pallas_decoder import PallasDecoder
 
         # pallas = promoted schedule; pallas_bg = biggather candidate (all
-        # D slot gathers in one tall GEMM, TB capped at 16)
+        # D slot gathers in one tall GEMM, TB capped at 16); pallas_tb64 =
+        # promoted schedule at the TB=64 tile (needs ~78 MB scoped VMEM —
+        # validated on v5e by runs/probe_tb64.json)
         schedule = (("sumrelu", "fold", "biggather")
                     if backend == "pallas_bg" else None)
-        apply_fn = PallasDecoder(init_cfg, k=graph.k, schedule=schedule).apply
+        tile = None
+        if backend == "pallas_tb64":
+            tile = 64
+            fd._VMEM_LIMIT = max(fd._VMEM_LIMIT, 100 * 1024 * 1024)
+        apply_fn = PallasDecoder(init_cfg, k=graph.k, schedule=schedule,
+                                 tile_batch=tile).apply
     else:
         apply_fn = model.apply
 
@@ -133,9 +141,9 @@ def main() -> int:
     # candidate), the best XLA path, and the reference-style baseline;
     # --all-backends adds the rest (each backend costs a multi-minute
     # remote compile through the axon tunnel)
-    candidates = ["pallas", "pallas_bg", "dense", "segment"]
+    candidates = ["pallas", "pallas_bg", "pallas_tb64", "dense", "segment"]
     if args.all_backends:
-        candidates[2:2] = ["fused", "ell"]
+        candidates[3:3] = ["fused", "ell"]
 
     if jax.default_backend() == "tpu":
         # TPU timings are garbage while the host CPU is busy (relay

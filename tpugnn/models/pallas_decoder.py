@@ -61,7 +61,8 @@ class PallasDecoder:
 
     def __init__(self, cfg: ModelConfig, k: int, *, interpret: bool | None = None,
                  trainable: bool = False, backward: str = "pallas",
-                 schedule: tuple | None = None):
+                 schedule: tuple | None = None,
+                 tile_batch: int | None = None):
         if not cfg.weight_tied:
             raise ValueError("PallasDecoder supports weight-tied rounds only")
         if cfg.aggr != "sum":
@@ -79,6 +80,11 @@ class PallasDecoder:
         # fused_decoder.PROD_VARIANTS).  Used by bench/probe harnesses to
         # A/B candidate schedules like biggather.
         self.schedule = tuple(schedule) if schedule is not None else None
+        # explicit inference batch tile, bypassing pick_block_batch — for
+        # probing tiles beyond the calibrated VMEM estimate (raise
+        # TPUGNN_VMEM_LIMIT_MB or fused_decoder._VMEM_LIMIT to match; the
+        # TB=64 probe validated 100 MB scoped VMEM on v5e)
+        self.tile_batch = tile_batch
 
     def apply(self, params, graph: TannerGraph, syndrome: jnp.ndarray) -> DecoderOutput:
         if not self.trainable:
@@ -196,8 +202,10 @@ class PallasDecoder:
             if self.schedule is not None and "biggather" in self.schedule:
                 # biggather keeps a [D*rows, TB, MH] slot tensor live
                 tb = min(tb, 16)
-                while batch % tb:
-                    tb //= 2
+            if self.tile_batch is not None:
+                tb = self.tile_batch
+            while batch % tb:
+                tb //= 2
         nblk = batch // tb
         w = roundweights_from_flax(p["rounds"])
 
