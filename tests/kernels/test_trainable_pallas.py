@@ -101,3 +101,20 @@ def test_training_with_pallas_backend():
     state, model, graph, hist = train(cfg, log=lambda *_: None)
     assert int(state.step) == 20
     assert np.isfinite(hist[-1]["loss"])
+
+
+def test_inference_overrides_match_default():
+    """schedule/tile_batch overrides are exact rewrites: same outputs."""
+    import numpy as np
+
+    g, cfg, model, params, b = _setup(d=3, rounds=2, hidden=16)
+    base = PallasDecoder(cfg, k=g.k, interpret=True).apply(
+        params, g, b.syndrome)
+    for kw in ({"schedule": ("sumrelu", "fold", "biggather")},
+               {"tile_batch": 2},
+               {"schedule": ("sumrelu", "fold"), "tile_batch": 1}):
+        alt = PallasDecoder(cfg, k=g.k, interpret=True, **kw).apply(
+            params, g, b.syndrome)
+        np.testing.assert_allclose(
+            np.asarray(alt.qubit_logits), np.asarray(base.qubit_logits),
+            atol=1e-4, rtol=1e-4, err_msg=str(kw))
