@@ -138,7 +138,7 @@ def main() -> int:
             print(f"skip {spec}: no checkpoint", file=sys.stderr)
             continue
         ident = {"ckpt": ckpt_norm, "step": latest, "hidden": hidden,
-                 "rounds": rounds, "head": head}
+                 "rounds": rounds, "head": head, "tau": args.tau}
 
         def _cached_ok(r):
             return (r is not None and r.get("uf") is not None
@@ -168,12 +168,15 @@ def main() -> int:
         # Narrow message widths (hidden 64/96 checkpoints) are zero-padded
         # to the 128 lane dim inside the kernel (pad_msg_width; H=96
         # hardware probe validated), so no width gate remains.
+        # flax attribute access makes a fresh bound method per access, so
+        # capture ONE object for both dispatch and identity checks
+        xla_apply = model.apply
         if jax.default_backend() == "tpu":
             from tpugnn.models.pallas_decoder import PallasDecoder
 
             apply_fn = PallasDecoder(cfg.model, k=graph.k).apply
         else:
-            apply_fn = model.apply
+            apply_fn = xla_apply
         for p in args.ps:
             if _cached_ok(prevs[p]):
                 rows.append(prevs[p])
@@ -206,11 +209,11 @@ def main() -> int:
                 try:
                     u = _unified(apply_fn)
                 except Exception as e:
-                    if apply_fn is not model.apply:
+                    if apply_fn is not xla_apply:
                         print(f"pallas decode failed for {spec} "
                               f"({type(e).__name__}); falling back to XLA",
                               file=sys.stderr)
-                        apply_fn = model.apply
+                        apply_fn = xla_apply
                         try:
                             u = _unified(apply_fn)
                         except Exception as e2:
@@ -243,12 +246,12 @@ def main() -> int:
                                          p=p, shots=args.shots, batch=4096,
                                          key=jax.random.PRNGKey(777))
                 except Exception as e:
-                    if apply_fn is model.apply:
+                    if apply_fn is xla_apply:
                         raise
                     print(f"pallas decode failed for {spec} "
                           f"({type(e).__name__}); falling back to XLA",
                           file=sys.stderr)
-                    apply_fn = model.apply
+                    apply_fn = xla_apply
                     ev = ler_monte_carlo(apply_fn, restored.params, graph,
                                          p=p, shots=args.shots, batch=4096,
                                          key=jax.random.PRNGKey(777))
@@ -334,9 +337,9 @@ def _write_md(path: str, shots: int, rows: list) -> None:
             opt = lambda k: ("—" if r.get(k) is None else f"{r[k]:.4g}")
             f.write(
                 f"| {r['family']} | {r['d']} | {r['p']} | "
-                f"{r['gnn_hybrid']:.4g} | {opt('gnn_uf')} | {opt('gnn_mwpm')} | "
+                f"{opt('gnn_hybrid')} | {opt('gnn_uf')} | {opt('gnn_mwpm')} | "
                 f"{opt('gnn_best_of')} | "
-                f"{r['gnn_logical']:.4g} | "
+                f"{opt('gnn_logical')} | "
                 f"{r['gnn_per_qubit']:.4g} | {r['uf']:.4g} | {opt('bp_osd')} "
                 f"| {opt('mwpm')} |\n"
             )

@@ -43,19 +43,22 @@ def min_weight_select(cand_names, cands, syn, hz, hx):
     """Per-shot minimum-weight selection over candidate corrections.
 
     ``cands`` maps name -> (ex, ez) uint8 [B, n]; ``syn`` is the observed
-    syndrome uint8 [B, >=n_checks].  Every candidate except "qubit" is
-    assumed syndrome-consistent by construction; the raw "qubit" head is
-    assigned infinite weight when its syndrome mismatches.  The weight is
-    the Y-aware depolarizing |support(ex OR ez)| (X, Y, Z equiprobable
-    single events, so a Y costs ONE unit).  Returns (ex_hat, ez_hat,
-    choice[B]).
+    syndrome uint8 [B, >=n_checks].  The cleanup/matcher candidates are
+    syndrome-consistent by construction; the "qubit" and "logical" heads
+    are consistency-gated (infinite weight on mismatch) — "logical"
+    because a model without a logical head falls back to duplicating the
+    (possibly inconsistent, tau-gated) qubit correction, and a real
+    logical-head realization is always consistent so the gate never costs
+    it anything.  The weight is the Y-aware depolarizing
+    |support(ex OR ez)| (X, Y, Z equiprobable single events, so a Y costs
+    ONE unit).  Returns (ex_hat, ez_hat, choice[B]).
     """
     bsz = next(iter(cands.values()))[0].shape[0]
     weights = np.full((len(cand_names), bsz), np.inf)
     for i, name in enumerate(cand_names):
         cex, cez = cands[name]
         w = (cex | cez).sum(axis=1).astype(np.float64)
-        if name == "qubit":
+        if name in ("qubit", "logical"):
             s_hat = ((cex @ hz.T) + (cez @ hx.T)) % 2
             sm = (s_hat != syn[:, : hz.shape[0]]).any(axis=1)
             w = np.where(sm, np.inf, w)
@@ -197,6 +200,28 @@ def ler_gnn_cleanup(
         "shots": float(total),
         "decoder": f"gnn+{cleanup}" + (f"@tau{tau}" if tau is not None else ""),
     }
+
+
+@lru_cache(maxsize=64)
+def _best_of_fwd_fn(apply_fn: Callable, tau: float | None, batch: int):
+    """Jitted sample+forward chunk for ler_best_of, cached at module level
+    so a p/tau sweep compiles once per (decoder, tau, batch) instead of
+    once per call (multi-minute tunnel compiles otherwise)."""
+    from tpugnn.sampling.noise import syndrome as syn_of
+
+    @jax.jit
+    def f(params, graph, k, p_):
+        b = sample_batch(k, graph, p_, batch)
+        out = apply_fn(params, graph, b.syndrome)
+        ex_g, ez_g = _gated_corrections(out.qubit_logits, tau)
+        s_res = jnp.mod(b.syndrome + syn_of(graph, ex_g, ez_g), 2.0)
+        lex, lez = (logical_head_correction(graph, b.syndrome,
+                                            out.logical_logits)
+                    if out.logical_logits is not None
+                    else (ex_g, ez_g))
+        return b.ex, b.ez, b.syndrome, ex_g, ez_g, s_res, lex, lez
+
+    return f
 
 
 @lru_cache(maxsize=64)
@@ -417,25 +442,9 @@ def ler_best_of(
 
         mw = MWPMDecoder(graph, p=p, force_python=force_python)
 
-    from tpugnn.sampling.noise import syndrome as syn_of
-
-    @lru_cache(maxsize=8)
-    def _fwd(apply_fn_, tau_, batch_):
-        @jax.jit
-        def f(params, graph, k, p_):
-            b = sample_batch(k, graph, p_, batch_)
-            out = apply_fn_(params, graph, b.syndrome)
-            ex_g, ez_g = _gated_corrections(out.qubit_logits, tau_)
-            s_res = jnp.mod(b.syndrome + syn_of(graph, ex_g, ez_g), 2.0)
-            lex, lez = (logical_head_correction(graph, b.syndrome,
-                                                out.logical_logits)
-                        if out.logical_logits is not None
-                        else (ex_g, ez_g))
-            return b.ex, b.ez, b.syndrome, ex_g, ez_g, s_res, lex, lez
-
-        return f
-
-    fwd = _fwd(apply_fn, tau, batch)
+    fwd = _best_of_fwd_fn(apply_fn, tau, batch)
+    hzb = hz.astype(np.uint8)
+    hxb = hx.astype(np.uint8)
     fails = 0
     total = 0
     picked = np.zeros(len(candidates), np.int64)
@@ -446,44 +455,31 @@ def ler_best_of(
         s_res_np = np.asarray(s_res)
         exg = np.asarray(ex_g)[:, :n].astype(np.uint8)
         ezg = np.asarray(ez_g)[:, :n].astype(np.uint8)
-        cands = []
+        cands = {}
         for name in candidates:
             if name == "qubit":
-                cands.append((exg, ezg, True))  # consistency checked below
+                cands[name] = (exg, ezg)
             elif name == "logical":
-                cands.append((np.asarray(lex)[:, :n].astype(np.uint8),
-                              np.asarray(lez)[:, :n].astype(np.uint8), False))
+                cands[name] = (np.asarray(lex)[:, :n].astype(np.uint8),
+                               np.asarray(lez)[:, :n].astype(np.uint8))
             elif name == "gnn_uf":
                 exu, ezu = uf.decode(s_res_np)
-                cands.append((exg ^ exu.astype(np.uint8),
-                              ezg ^ ezu.astype(np.uint8), False))
+                cands[name] = (exg ^ exu.astype(np.uint8),
+                               ezg ^ ezu.astype(np.uint8))
             elif name == "gnn_mwpm":
                 exm, ezm = mw.decode(s_res_np)
-                cands.append((exg ^ exm.astype(np.uint8),
-                              ezg ^ ezm.astype(np.uint8), False))
+                cands[name] = (exg ^ exm.astype(np.uint8),
+                               ezg ^ ezm.astype(np.uint8))
             elif name == "mwpm":
                 exm, ezm = mw.decode(s_np)
-                cands.append((exm.astype(np.uint8), ezm.astype(np.uint8),
-                              False))
+                cands[name] = (exm.astype(np.uint8), ezm.astype(np.uint8))
             else:
                 raise ValueError(f"unknown candidate {name!r}")
         bsz = exg.shape[0]
-        weights = np.full((len(cands), bsz), np.inf)
-        for i, (cex, cez, check) in enumerate(cands):
-            w = (cex | cez).sum(axis=1).astype(np.float64)
-            if check:
-                # consistency: syndrome of candidate must equal observed
-                s_hat = ((cex @ hz.T) + (cez @ hx.T)) % 2
-                sm = (s_hat != s_np[:, : hz.shape[0]]).any(axis=1)
-                w = np.where(sm, np.inf, w)
-            weights[i] = w
-        choice = np.argmin(weights, axis=0)
-        for i in range(len(cands)):
+        ex_hat, ez_hat, choice = min_weight_select(
+            candidates, cands, s_np, hzb, hxb)
+        for i in range(len(candidates)):
             picked[i] += int((choice == i).sum())
-        ex_hat = np.take_along_axis(
-            np.stack([c[0] for c in cands]), choice[None, :, None], axis=0)[0]
-        ez_hat = np.take_along_axis(
-            np.stack([c[1] for c in cands]), choice[None, :, None], axis=0)[0]
         rx = (np.asarray(ex)[:, :n].astype(np.uint8) ^ ex_hat) & 1
         rz = (np.asarray(ez)[:, :n].astype(np.uint8) ^ ez_hat) & 1
         lf = ((rx @ lz.T) % 2).any(axis=1) | ((rz @ lx.T) % 2).any(axis=1)

@@ -497,7 +497,7 @@ def _make_bwd_kernel(M, N, Dc, Dq, H, MH, R, TB, cdt, ablate=frozenset(),
 
 def make_kernel_vjp_rounds(
     graph_operators: tuple, *, rounds: int, compute_dtype: str = "bfloat16",
-    interpret: bool | None = None, block_batch: int = 8,
+    interpret: bool | None = None,
     ablate: tuple | None = None, unroll_rounds: bool = False,
 ):
     """Differentiable tiled round-loop with Pallas forward AND backward.
@@ -512,8 +512,8 @@ def make_kernel_vjp_rounds(
     means the packed operands carry the folded wo@ua / (deg*bo)@ua values —
     kernel_trained_rounds does this in differentiable outer JAX).
 
-    ``block_batch`` defaults lower than inference: the backward's working
-    set (~3x forward) plus the round-state stash bounds the tile.
+    The batch tile is decided by the caller via the [nblk, rows, TB, H]
+    input shapes (see train_block_batch).
     """
     g_c0, mask_c, deg_c, g_q0, mask_q, deg_q = graph_operators
     cdt = jnp.dtype(compute_dtype)
