@@ -78,20 +78,26 @@ def bench_backend(backend: str, *, d: int, batch: int, rounds: int, hidden: int,
     params = model.init(key, graph, jnp.zeros((2, graph.n_checks_pad)))
     b = sample_batch(key, graph, 0.05, batch)
 
+    vmem_saved = None
     if backend.startswith("pallas"):
         from tpugnn.kernels import fused_decoder as fd
         from tpugnn.models.pallas_decoder import PallasDecoder
 
         # pallas = promoted schedule; pallas_bg = biggather candidate (all
         # D slot gathers in one tall GEMM, TB capped at 16); pallas_tb64 =
-        # promoted schedule at the TB=64 tile (needs ~78 MB scoped VMEM —
-        # validated on v5e by runs/probe_tb64.json)
+        # promoted schedule at the TB=64 tile.  The flagship shape (d=11,
+        # B=4096, H=128) needs 104.06 MB scoped VMEM (BENCH_r02 OOM report:
+        # 104.06M requested vs a 100.06M limit), so the tb64 candidate asks
+        # for 112 MB; the limit is saved/restored so later kernels in the
+        # same process compile against the hardware-validated default
+        # [ADVICE r2 item 4].
         schedule = (("sumrelu", "fold", "biggather")
                     if backend == "pallas_bg" else None)
         tile = None
         if backend == "pallas_tb64":
             tile = 64
-            fd._VMEM_LIMIT = max(fd._VMEM_LIMIT, 100 * 1024 * 1024)
+            vmem_saved = fd._VMEM_LIMIT
+            fd._VMEM_LIMIT = max(fd._VMEM_LIMIT, 112 * 1024 * 1024)
         apply_fn = PallasDecoder(init_cfg, k=graph.k, schedule=schedule,
                                  tile_batch=tile).apply
     else:
@@ -102,7 +108,13 @@ def bench_backend(backend: str, *, d: int, batch: int, rounds: int, hidden: int,
         out = apply_fn(params, graph, syndrome)
         return decode_corrections(out.qubit_logits)
 
-    t = _time_fn(decode, params, b.syndrome, iters=iters)
+    try:
+        t = _time_fn(decode, params, b.syndrome, iters=iters)
+    finally:
+        if vmem_saved is not None:
+            from tpugnn.kernels import fused_decoder as fd
+
+            fd._VMEM_LIMIT = vmem_saved
     edges = batch * graph.n_edges * rounds
     return {
         "backend": backend,

@@ -30,6 +30,10 @@ def main() -> int:
     ap.add_argument("--family", default="surface")
     ap.add_argument("--d", type=int, default=11)
     ap.add_argument("--ps", type=float, nargs="+", default=[0.02, 0.03, 0.05])
+    ap.add_argument("--col", default="gnn_best_of",
+                    help="GNN column to compare (fixed up front to avoid "
+                         "selection bias [ADVICE r2 item 3]); 'best' takes "
+                         "the min across all GNN columns (exploratory only)")
     args = ap.parse_args()
 
     latest: dict = {}
@@ -51,15 +55,32 @@ def main() -> int:
             print(f"d={args.d} p={p}: NO ROW")
             ok = False
             continue
-        # across checkpoints (e.g. raw + EMA), the best GNN-side column wins
-        best_name, best_ler, best_row = None, None, None
-        for r in rows:
+        # a row without a shot count cannot yield a stderr — treat it as a
+        # failure instead of defaulting to 1 shot (which would auto-PASS
+        # the point) [ADVICE r2 item 3]
+        rows_ok = [r for r in rows if r.get("shots")]
+        if not rows_ok:
+            print(f"d={args.d} p={p}: rows missing 'shots'")
+            ok = False
+            continue
+        # comparison row fixed up front: the highest-shot evaluation at
+        # this p (newest on ties) — not a post-hoc min over checkpoints
+        best_row = max(enumerate(rows_ok),
+                       key=lambda ir: (ir[1]["shots"], ir[0]))[1]
+        if args.col == "best":
+            best_name, best_ler = None, None
             for c in GNN_COLS:
-                v = r.get(c)
+                v = best_row.get(c)
                 if v is not None and (best_ler is None or v < best_ler):
-                    best_name, best_ler, best_row = c, v, r
+                    best_name, best_ler = c, v
+        else:
+            best_name, best_ler = args.col, best_row.get(args.col)
+        if best_ler is None:
+            print(f"d={args.d} p={p}: no {args.col} column")
+            ok = False
+            continue
         mwpm = best_row.get("mwpm")
-        shots = best_row.get("shots", 1)
+        shots = best_row["shots"]
         if mwpm is None:
             print(f"d={args.d} p={p}: no MWPM column")
             ok = False
@@ -70,9 +91,11 @@ def main() -> int:
         passed = margin <= 2 * se
         ok &= passed
         rel = (mwpm / best_ler) if best_ler > 0 else float("inf")
+        ck = best_row.get("ckpt", "?")
         print(f"d={args.d} p={p}: {best_name}={best_ler:.3g} vs "
               f"mwpm={mwpm:.3g} ({rel:.2f}x) margin={margin:+.2g} "
-              f"2se={2 * se:.2g} -> {'PASS' if passed else 'FAIL'}")
+              f"2se={2 * se:.2g} [ckpt={ck} shots={shots:g}] "
+              f"-> {'PASS' if passed else 'FAIL'}")
     print("PARITY:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 

@@ -134,3 +134,60 @@ def test_unified_matches_legacy_columns(setup):
     assert u["gnn_best_of"] == gbo["ler"]
     assert u["picked"] == gbo["picked"]
     assert u["uf"] == uf["ler"]
+
+
+def test_lazy_decode_matches_eager(setup):
+    """lazy_decode (zero-syndrome rows skipped) must be bit-identical to the
+    eager batch decode for both UF and MWPM, including all-zero rows."""
+    from tpugnn.baselines.mwpm import MWPMDecoder
+    from tpugnn.baselines.union_find import UnionFindDecoder
+    from tpugnn.eval.hybrid import lazy_decode
+    from tpugnn.sampling import sample_batch
+
+    graph, model, state = setup
+    b = sample_batch(jax.random.PRNGKey(21), graph, 0.03, 64)
+    syn = np.asarray(b.syndrome).astype(np.uint8)
+    syn[::3] = 0  # force a mix of zero and nonzero rows
+    for dec in (UnionFindDecoder(graph), MWPMDecoder(graph)):
+        ex_l, ez_l = lazy_decode(dec, syn)
+        ex_e, ez_e = dec.decode(syn)
+        np.testing.assert_array_equal(ex_l, np.asarray(ex_e, np.uint8))
+        np.testing.assert_array_equal(ez_l, np.asarray(ez_e, np.uint8))
+        # explicit all-zero batch -> all-zero corrections
+        zx, zz = lazy_decode(dec, np.zeros_like(syn))
+        assert not zx.any() and not zz.any()
+
+
+def test_unified_matches_best_of_with_tau_per_qubit():
+    """ADVICE r2 item 2: for a per_qubit model with tau set, ler_all_columns'
+    gnn_best_of must match ler_best_of (gated fallback for the 'logical'
+    candidate)."""
+    from tpugnn.eval.hybrid import ler_all_columns
+
+    graph = build_code("surface", 3)
+    cfg = ExperimentConfig(
+        code=CodeConfig(family="surface", distance=3, p=0.05),
+        model=ModelConfig(hidden=32, msg_hidden=32, rounds=3, backend="fused",
+                          readout="per_qubit", qubit_head="pauli4"),
+        train=TrainConfig(batch=64, steps=1),
+    )
+    state, model = init_state(cfg, graph)
+    kw = dict(p=0.06, shots=256, batch=128, key=jax.random.PRNGKey(17),
+              tau=0.9)
+    u = ler_all_columns(model.apply, state.params, graph, **kw)
+    gbo = ler_best_of(model.apply, state.params, graph, **kw)
+    assert u["gnn_best_of"] == gbo["ler"]
+    assert u["picked"] == gbo["picked"]
+
+
+def test_mwpm_raw_requires_mwpm(setup):
+    """ADVICE r2 item 1: with_mwpm_raw without with_mwpm must not report a
+    spuriously perfect mwpm=0.0 column."""
+    from tpugnn.eval.hybrid import ler_all_columns
+
+    graph, model, state = setup
+    u = ler_all_columns(model.apply, state.params, graph,
+                        p=0.06, shots=128, batch=128,
+                        key=jax.random.PRNGKey(19),
+                        with_mwpm=False, with_mwpm_raw=True)
+    assert u["mwpm"] is None
