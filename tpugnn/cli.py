@@ -142,6 +142,11 @@ def main(argv: list[str] | None = None) -> int:
                                  "cleanup/MWPM candidates)")
             sp.add_argument("--tau", type=float, default=None,
                             help="confidence gate for --cleanup")
+            sp.add_argument("--lazy", action="store_true",
+                            help="best_of only: run the raw-MWPM matcher "
+                                 "only on shots whose GNN correction is "
+                                 "syndrome-inconsistent (approximate; see "
+                                 "DecodeEngine docs)")
     args = ap.parse_args(argv)
     if args.cpu:
         _force_cpu()
@@ -193,7 +198,8 @@ def main(argv: list[str] | None = None) -> int:
         else:
             state, _ = init_state(cfg, graph)
         eng = DecodeEngine(cfg, state.params, graph, max_batch=args.max_batch,
-                           cleanup=args.cleanup, cleanup_tau=args.tau)
+                           cleanup=args.cleanup, cleanup_tau=args.tau,
+                           lazy=getattr(args, "lazy", False))
         if args.infile:
             syn = np.load(args.infile)
         else:

@@ -45,7 +45,20 @@ class DecodeEngine:
         data_parallel: Optional[int] = None,
         cleanup: Optional[str] = None,
         cleanup_tau: Optional[float] = None,
+        lazy: bool = False,
     ):
+        # lazy best-of serving [VERDICT r2 task 4]: the residual-syndrome
+        # cleanup decodes always skip zero-residual shots (exact — no
+        # defects means the zero correction).  With ``lazy=True`` the raw
+        # MWPM candidate is additionally computed only for shots whose
+        # gated GNN correction is syndrome-INconsistent; consistent shots
+        # substitute the GNN correction for that candidate.  This is a
+        # documented approximation: a full raw-MWPM decode could occasionally
+        # be lighter than an already-consistent GNN correction and win the
+        # min-weight selection.  tests/test_serve.py measures the exact/lazy
+        # agreement; the tau-sweep picked histograms show the matcher path
+        # is needed on a small minority of shots.
+        self._lazy = bool(lazy)
         self.cfg = cfg
         self.graph = graph if graph is not None else build_code(
             cfg.code.family, cfg.code.distance,
@@ -206,24 +219,33 @@ class DecodeEngine:
         n_pad = self.graph.n_qubits_pad
         n = self.graph.n_qubits
         if self._best_of:
-            from tpugnn.eval.hybrid import min_weight_select
+            from tpugnn.eval.hybrid import lazy_decode, min_weight_select
 
             exg = full[:, :n, 0]
             ezg = full[:, :n, 1]
             s_res = full[:, n_pad : n_pad + m_pad, 0]
             lex = full[:, n_pad + m_pad : n_pad + m_pad + n, 0]
             lez = full[:, n_pad + m_pad : n_pad + m_pad + n, 1]
-            exu, ezu = self._uf.decode(s_res)
-            exm, ezm = self._mw.decode(s_res)
-            exr, ezr = self._mw.decode(s[:b])
+            exu, ezu = lazy_decode(self._uf, s_res)
+            exm, ezm = lazy_decode(self._mw, s_res)
+            if self._lazy:
+                # matcher only where the GNN correction is inconsistent;
+                # consistent shots reuse the GNN correction as the 'mwpm'
+                # candidate (see __init__ docstring for the approximation)
+                nz = np.flatnonzero(s_res.any(axis=1))
+                exr, ezr = exg.copy(), ezg.copy()
+                if nz.size:
+                    er, zr = self._mw.decode(s[:b][nz])
+                    exr[nz], ezr[nz] = er.astype(np.uint8), zr.astype(np.uint8)
+            else:
+                er, zr = self._mw.decode(s[:b])
+                exr, ezr = er.astype(np.uint8), zr.astype(np.uint8)
             cands = {
                 "qubit": (exg, ezg),
                 "logical": (lex, lez),
-                "gnn_uf": (exg ^ exu.astype(np.uint8),
-                           ezg ^ ezu.astype(np.uint8)),
-                "gnn_mwpm": (exg ^ exm.astype(np.uint8),
-                             ezg ^ ezm.astype(np.uint8)),
-                "mwpm": (exr.astype(np.uint8), ezr.astype(np.uint8)),
+                "gnn_uf": (exg ^ exu, ezg ^ ezu),
+                "gnn_mwpm": (exg ^ exm, ezg ^ ezm),
+                "mwpm": (exr, ezr),
             }
             ex_hat, ez_hat, _ = min_weight_select(
                 tuple(cands), cands, s[:b].astype(np.uint8),
@@ -231,10 +253,12 @@ class DecodeEngine:
             return np.stack([ex_hat, ez_hat], axis=-1).astype(np.uint8)
         if self._cleanup_dec is None:
             return full[:, :n, :]
+        from tpugnn.eval.hybrid import lazy_decode
+
         corr = full[:, :n_pad, :]
         s_res = full[:, n_pad : n_pad + m_pad, 0]
-        ex_u, ez_u = self._cleanup_dec.decode(s_res)
+        ex_u, ez_u = lazy_decode(self._cleanup_dec, s_res)
         corr = corr[:, :n, :].copy()
-        corr[:, :, 0] ^= ex_u.astype(np.uint8)
-        corr[:, :, 1] ^= ez_u.astype(np.uint8)
+        corr[:, :, 0] ^= ex_u
+        corr[:, :, 1] ^= ez_u
         return corr
