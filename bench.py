@@ -139,6 +139,10 @@ def main() -> int:
     ap.add_argument("--all-backends", action="store_true",
                     help="also bench the fused/ell XLA paths (adds two slow "
                          "remote compiles)")
+    ap.add_argument("--no-extras", action="store_true",
+                    help="skip the R=14 (flagship training config) and d=15 "
+                         "rows measured with the best backend "
+                         "[VERDICT r2 tasks 3/9]")
     args = ap.parse_args()
     if args.cpu:
         import os
@@ -219,6 +223,26 @@ def _report(args, results) -> int:
         line["pct_sol"] = round(cost.pct_sol(best["step_time_s"]), 1)
     except Exception:
         pass
+    # extra rows with the winning backend: the flagship QUALITY config
+    # (R=14 — the headline metric stays R=8 for cross-round continuity)
+    # and the d=15 configs[4] shape on one chip [VERDICT r2 tasks 3/9]
+    if not (args.no_extras or args.quick):
+        extras = {}
+        for tag, kw in (("r14", dict(d=args.d, rounds=14)),
+                        ("d15", dict(d=15, rounds=args.rounds))):
+            try:
+                r = bench_backend(best_name, batch=args.batch,
+                                  hidden=args.hidden, iters=3, **kw)
+                extras[tag] = {
+                    "d": kw["d"], "rounds": kw["rounds"],
+                    "step_time_ms": round(r["step_time_s"] * 1e3, 3),
+                    "edges_per_s": round(r["edges_per_s"], 1),
+                    "n_edges": r["n_edges"],
+                }
+            except Exception as e:
+                extras[tag] = {"error": f"{type(e).__name__}: {e}"}
+                print(f"extra bench {tag} failed: {e}", file=sys.stderr)
+        line["extras"] = extras
     if args.profile:
         import importlib
 

@@ -6,11 +6,26 @@ reports efficiency relative to linear scaling from 1 device:
     efficiency(N) = edges_per_s(N) / (N * edges_per_s(1))
 
 On real multi-chip hardware this is the BASELINE.json scaling metric
-(1 chip -> v5e-16, target >= 90%).  On a forced-CPU host platform
-(``--cpu``) the absolute numbers are meaningless but the harness exercises
-the identical compiled collectives, which is what CI checks.
+(1 chip -> v5e-16, target >= 90%).
 
-    python benchmarks/scaling.py [--cpu] [--d 11] [--batch 4096] [--sizes 1 2 4 8]
+**CPU-emulation caveat (docs/SCALING.md)**: with
+``--xla_force_host_platform_device_count=N`` all N "devices" share the SAME
+physical host cores, so total compute throughput is bounded by the host no
+matter how many virtual devices exist — the naive efficiency above is
+expected to collapse toward 1/N even for perfectly parallel programs and
+says nothing about ICI.  The meaningful emulation signal is the
+**aggregate-throughput ratio** (total edges/s at N vs at 1, also reported):
+it isolates genuine sharding overheads (collectives, halo buffers, padding)
+from the shared-host artifact.  Hardware projections live in
+benchmarks/ici_projection.py.
+
+Modes: default is strong scaling (fixed global batch); ``--weak`` grows the
+global batch with the mesh so per-device work is constant (the regime the
+north-star multi-chip story actually runs in: more chips -> more shots/s at
+fixed d, or bigger d at fixed latency).
+
+    python benchmarks/scaling.py [--cpu] [--d 11] [--batch 4096]
+        [--sizes 1 2 4 8] [--weak]
 """
 
 from __future__ import annotations
@@ -33,6 +48,9 @@ def main() -> int:
     ap.add_argument("--sizes", type=int, nargs="+", default=[1, 2, 4, 8])
     ap.add_argument("--graph-axis", type=int, default=2,
                     help="graph-axis size for meshes with >= this many devices")
+    ap.add_argument("--weak", action="store_true",
+                    help="weak scaling: global batch = --batch * n_devices "
+                         "(constant per-device work)")
     args = ap.parse_args()
     if args.cpu:
         import os
@@ -69,7 +87,8 @@ def main() -> int:
         model = GNNDecoder(cfg, k=graph.k)
         key = jax.random.PRNGKey(0)
         params = model.init(key, graph, jnp.zeros((2, graph.n_checks_pad)))
-        b = sample_batch(key, graph, 0.05, args.batch)
+        batch = args.batch * n if args.weak else args.batch
+        b = sample_batch(key, graph, 0.05, batch)
         apply = make_sharded_apply(model, mesh, pg)
 
         @jax.jit
@@ -77,16 +96,26 @@ def main() -> int:
             return decode_corrections(apply(params, graph, s).qubit_logits)
 
         t = Timer.time_fn(decode, params, b.syndrome, iters=5)
-        eps = args.batch * graph.n_edges * args.rounds / t
+        eps = batch * graph.n_edges * args.rounds / t
         if base is None:
             base = eps
+        # efficiency: classic per-device speedup vs linear (collapses to
+        # ~1/N on a shared-host emulated mesh — see module docstring);
+        # aggregate_ratio: total throughput at N vs 1 device, the signal
+        # that isolates genuine sharding overhead under emulation
         results.append({
             "devices": n, "mesh": [mcfg.data, mcfg.graph],
+            "batch": batch, "mode": "weak" if args.weak else "strong",
             "step_ms": round(t * 1e3, 3),
             "edges_per_s": round(eps, 1),
             "efficiency": round(eps / (n * base), 4),
+            "aggregate_ratio": round(eps / base, 4),
         })
-    print(json.dumps({"metric": "scaling_efficiency", "runs": results}))
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "host_emulation": jax.default_backend() == "cpu",
+        "runs": results,
+    }))
     return 0
 
 
