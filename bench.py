@@ -92,10 +92,18 @@ def bench_backend(backend: str, *, d: int, batch: int, rounds: int, hidden: int,
         # same process compile against the hardware-validated default
         # [ADVICE r2 item 4].
         schedule = (("sumrelu", "fold", "biggather")
-                    if backend == "pallas_bg" else None)
+                    if backend.startswith("pallas_bg") else None)
         tile = None
         if backend == "pallas_tb64":
             tile = 64
+            vmem_saved = fd._VMEM_LIMIT
+            fd._VMEM_LIMIT = max(fd._VMEM_LIMIT, 112 * 1024 * 1024)
+        elif backend == "pallas_bg_tb32":
+            # biggather at the TB=32 tile (PallasDecoder caps auto-picked
+            # biggather tiles at 16): combines the tall-gather-GEMM and
+            # larger-panel levers; the extra [D*rows, TB, MH] f32 live
+            # tensor needs the raised scoped-VMEM limit
+            tile = 32
             vmem_saved = fd._VMEM_LIMIT
             fd._VMEM_LIMIT = max(fd._VMEM_LIMIT, 112 * 1024 * 1024)
         apply_fn = PallasDecoder(init_cfg, k=graph.k, schedule=schedule,
@@ -157,7 +165,8 @@ def main() -> int:
     # candidate), the best XLA path, and the reference-style baseline;
     # --all-backends adds the rest (each backend costs a multi-minute
     # remote compile through the axon tunnel)
-    candidates = ["pallas", "pallas_bg", "pallas_tb64", "dense", "segment"]
+    candidates = ["pallas", "pallas_bg", "pallas_bg_tb32", "pallas_tb64",
+                  "dense", "segment"]
     if args.all_backends:
         candidates[3:3] = ["fused", "ell"]
 

@@ -103,17 +103,26 @@ def main() -> int:
             )
             hard_sync(out)
             compile_s = time.perf_counter() - t0
-            ts = []
-            for _ in range(args.iters):
-                t0 = time.perf_counter()
-                for _ in range(args.chain):
-                    out = decoder_rounds(
-                        xc, xq, syn, ops, weights, rounds=args.rounds,
-                        block_batch=args.tb, compute_dtype=args.dtype,
-                        ablate=ablate,
-                    )
-                hard_sync(out)
-                ts.append((time.perf_counter() - t0) / args.chain)
+            # idle-host timing: pause queue-advertised background jobs for
+            # the measured region (PERF_NOTES timing policy)
+            from contextlib import nullcontext
+
+            from tpugnn.utils.hostidle import paused_queue_jobs
+
+            pause = (paused_queue_jobs() if jax.default_backend() == "tpu"
+                     else nullcontext([]))
+            with pause:
+                ts = []
+                for _ in range(args.iters):
+                    t0 = time.perf_counter()
+                    for _ in range(args.chain):
+                        out = decoder_rounds(
+                            xc, xq, syn, ops, weights, rounds=args.rounds,
+                            block_batch=args.tb, compute_dtype=args.dtype,
+                            ablate=ablate,
+                        )
+                    hard_sync(out)
+                    ts.append((time.perf_counter() - t0) / args.chain)
             t = statistics.median(ts)
             results[name] = t
             print(json.dumps({

@@ -98,13 +98,25 @@ def main() -> int:
             state, metrics = step(state, graph)
             hard_sync(metrics["loss"])
             compile_s = time.perf_counter() - t0
-            ts = []
-            for _ in range(args.iters):
-                t0 = time.perf_counter()
-                for _ in range(args.chain):
-                    state, metrics = step(state, graph)
-                hard_sync(metrics["loss"])
-                ts.append((time.perf_counter() - t0) / args.chain)
+            # SIGSTOP any queue-advertised background job for the timed
+            # region (TPU timings are garbage while the host is busy —
+            # PERF_NOTES; the r2e/r2f probes were voided by exactly this)
+            from contextlib import nullcontext
+
+            from tpugnn.utils.hostidle import paused_queue_jobs
+
+            pause = (paused_queue_jobs() if jax.default_backend() == "tpu"
+                     else nullcontext([]))
+            with pause as paused:
+                if paused:
+                    print(f"paused queue jobs: {paused}", file=sys.stderr)
+                ts = []
+                for _ in range(args.iters):
+                    t0 = time.perf_counter()
+                    for _ in range(args.chain):
+                        state, metrics = step(state, graph)
+                    hard_sync(metrics["loss"])
+                    ts.append((time.perf_counter() - t0) / args.chain)
             t = statistics.median(ts)
             print(json.dumps({
                 "path": path, "step_ms": round(t * 1e3, 2),

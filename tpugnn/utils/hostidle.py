@@ -48,6 +48,8 @@ _ALLOWED = (
     "probe_tb.py",
     "serve_latency.py",
     "stream_quality.py",
+    "tau_sweep.py",
+    "decoder_throughput.py",
 )
 
 
