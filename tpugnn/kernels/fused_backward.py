@@ -66,6 +66,16 @@ __all__ = ["make_kernel_vjp_rounds", "kernel_trained_rounds",
 
 f32 = jnp.float32
 
+# Training kernels get their own scoped-VMEM limit: the round-state stash
+# grows with R, and the 64 MB inference default forces tiny tiles (R=14
+# fell to TB=4 -> 403 ms/step).  112 MB holds TB=16 at R=8 / TB=8 at R=14 —
+# both compiled AND ran on v5e (runs/probe_train_r8_tb16.json: 133.4 ms;
+# runs/probe_train_r14_tb8.json: 227.8 ms, 1.77x the TB=4 step).
+import os as _os
+
+_TRAIN_VMEM_LIMIT = int(
+    _os.environ.get("TPUGNN_TRAIN_VMEM_LIMIT_MB", 112)) * 1024 * 1024
+
 
 def _dot2(a, b):
     # a: [rows, TB, K] x b: [K, F] -> [rows, TB, F] (f32 accum)
@@ -564,7 +574,7 @@ def make_kernel_vjp_rounds(
                  bmh, bh)
         xc_o, xq_o, stash_c, stash_q = pl.pallas_call(
             kern,
-            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=fd._VMEM_LIMIT),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_TRAIN_VMEM_LIMIT),
             out_shape=(
                 jax.ShapeDtypeStruct((nblk, m, tb, h), cdt),
                 jax.ShapeDtypeStruct((nblk, n, tb, h), cdt),
@@ -613,7 +623,7 @@ def make_kernel_vjp_rounds(
         w2_rows = 2 * mh + (2 if fold else 4) * h
         outs = pl.pallas_call(
             kern,
-            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=fd._VMEM_LIMIT),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_TRAIN_VMEM_LIMIT),
             out_shape=(
                 jax.ShapeDtypeStruct((nblk, m, tb, h), f32),   # dxc
                 jax.ShapeDtypeStruct((nblk, n, tb, h), f32),   # dxq
@@ -660,12 +670,33 @@ def train_block_batch(operators: tuple, mh: int, compute_dtype, batch: int,
     so the coefficient matches the pre-mask calibration — at the flagship
     R=14 shape the tile boundary sits at 55/56 MB and any padding of the
     coefficient would needlessly halve TB.
+
+    ``TPUGNN_TRAIN_TB`` overrides the auto pick (pair with
+    ``TPUGNN_VMEM_LIMIT_MB`` — the stash grows with R, so the R=14 shape
+    drops to TB=4 under the default 64 MB limit while TB=8/16 need the
+    probed 100-112 MB scoped-VMEM budgets).
     """
+    import os as _os
+
+    tb_env = _os.environ.get("TPUGNN_TRAIN_TB")
+    if tb_env:
+        tb = int(tb_env)
+        while batch % tb:
+            tb //= 2
+        return max(tb, 1)
     slots = max(operators[0].shape[0], operators[3].shape[0])
     cdt = jnp.dtype(compute_dtype)
-    return fd.pick_block_batch(
-        slots * (2 + rounds // 4), mh, cdt.itemsize, batch, block_batch
-    )
+    # budget against the TRAINING VMEM limit (112 MB default, hardware-
+    # validated), not the inference one: holds TB=16 at R=8 / TB=8 at R=14
+    # for the flagship shape instead of TB=8/TB=4
+    budget = _TRAIN_VMEM_LIMIT - 8 * 1024 * 1024
+    eff_slots = slots * (2 + rounds // 4)
+    tb = max(block_batch, 16)
+    while tb > 1 and fd._VMEM_COEF * eff_slots * tb * mh * cdt.itemsize > budget:
+        tb //= 2
+    while batch % tb:
+        tb //= 2
+    return max(tb, 1)
 
 
 def kernel_trained_rounds_tiled(
