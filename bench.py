@@ -93,6 +93,15 @@ def bench_backend(backend: str, *, d: int, batch: int, rounds: int, hidden: int,
         # [ADVICE r2 item 4].
         schedule = (("sumrelu", "fold", "biggather")
                     if backend.startswith("pallas_bg") else None)
+        if backend == "pallas_roll":
+            # raster roll-gather kernel: slot gathers as cyclic shifts
+            # (kernels/roll_gather.py) — no one-hot GEMMs
+            schedule = ("rollgather",)
+        elif backend == "pallas_roll16":
+            # roll kernel with the whole slot stage in bf16 (half the
+            # bytes of the VPU-bound stage; VPU sums have no 32-bit
+            # accumulator rule)
+            schedule = ("rollgather", "slot16")
         tile = None
         if backend == "pallas_tb64":
             tile = 64
@@ -166,7 +175,7 @@ def main() -> int:
     # --all-backends adds the rest (each backend costs a multi-minute
     # remote compile through the axon tunnel)
     candidates = ["pallas", "pallas_bg", "pallas_bg_tb32", "pallas_tb64",
-                  "dense", "segment"]
+                  "pallas_roll", "dense", "segment"]
     if args.all_backends:
         candidates[3:3] = ["fused", "ell"]
 

@@ -62,10 +62,20 @@ _VMEM_COEF = 12.0
 # function as the base kernel (up to f32 reassociation).
 #
 # Promoted 2026-08-19 from runs/probe_attrib.json (v5e hardware): the combo
-# measured 1.67x the base schedule (and above the function-changing
-# 'oneslot' ablation — slot gathers are no longer the limiter).  Parity vs
-# the base schedule is enforced by test_prod_variants_match_original_schedule.
-PROD_VARIANTS: tuple = ("sumrelu", "fold", "interleave")
+# measured 1.67x the base schedule.  Parity vs the base schedule is
+# enforced by test_prod_variants_match_original_schedule.
+#
+# Re-promoted 2026-08-21 (runs/probe_ablate_r3.json, idle-host): biggather
+# replaces interleave — sumrelu+fold+biggather measured 36.19 ms vs
+# sumrelu+fold+interleave's 38.13 ms at the flagship shape (and pallas_bg
+# won BENCH_r02 at 433.4 M edges/s).  The same probe's oneslot ablation
+# (12.4 ms saved by dropping 6 of 8 slot GEMMs) shows the slot gather
+# GEMMs ARE the dominant cost above the floor — the r1 conclusion that
+# they no longer limit was wrong; see PERF_NOTES "Round 3" for the
+# decomposition.  biggather overrides interleave inside the kernel, and
+# the training replay (fused_backward._round_fwd) falls back to the plain
+# slot loop for unknown keys — exact either way.
+PROD_VARIANTS: tuple = ("sumrelu", "fold", "biggather")
 
 
 def pick_block_batch(slots: int, mh: int, itemsize: int, batch: int,

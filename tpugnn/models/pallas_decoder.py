@@ -88,6 +88,11 @@ class PallasDecoder:
 
     def apply(self, params, graph: TannerGraph, syndrome: jnp.ndarray) -> DecoderOutput:
         if not self.trainable:
+            if self.schedule is not None and "rollgather" in self.schedule:
+                # the roll kernel handles its own raster permute; it runs
+                # from the batch layout (the raster take replaces the
+                # tiled path's transpose savings)
+                return self._apply_batched(params, graph, syndrome)
             return self._apply_tiled(params, graph, syndrome)
         if self.backward == "pallas":
             # the kernel-backed VJP also has a tiled entry point, so the
@@ -146,11 +151,45 @@ class PallasDecoder:
                 )
             x_c, x_q = diff_fn(x_c, x_q, syn_feat, w)
         else:
-            x_c, x_q = decoder_rounds(
-                x_c, x_q, syn_feat, ops, w,
-                rounds=cfg.rounds, interpret=self.interpret,
-                compute_dtype=cfg.dtype,
-            )
+            rolled = False
+            if self.schedule is not None and "rollgather" in self.schedule:
+                # raster roll-gather kernel (kernels/roll_gather.py): slot
+                # gathers as cyclic shifts instead of one-hot GEMMs.  Plan
+                # built host-side from the static graph name (arrays here
+                # are tracers); shape guard falls back to the GEMM kernel
+                # for non-default padding or non-surface codes.
+                import jax.numpy as _jnp
+
+                from tpugnn.kernels.roll_gather import (
+                    decoder_rounds_roll,
+                    plan_from_name,
+                )
+
+                built = plan_from_name(graph.name)
+                if built is not None and built[1] is not None and \
+                        built[0].n_checks_pad == graph.n_checks_pad and \
+                        built[0].n_qubits_pad == graph.n_qubits_pad:
+                    plan = built[1]
+                    plan_arrays = tuple(_jnp.asarray(a) for a in (
+                        plan.cell_of_check, plan.cell_of_qubit,
+                        plan.mask_c, plan.mask_q, plan.deg_c, plan.deg_q))
+                    static_plan = (plan.d, plan.l_pad, plan.offs_c,
+                                   plan.offs_q)
+                    x_c, x_q = decoder_rounds_roll(
+                        x_c, x_q, syn_feat, plan_arrays, static_plan, w,
+                        rounds=cfg.rounds, interpret=self.interpret,
+                        compute_dtype=cfg.dtype,
+                        slot_dtype=("bfloat16" if "slot16" in self.schedule
+                                    else "float32"),
+                        block_batch=self.tile_batch or 32,
+                    )
+                    rolled = True
+            if not rolled:
+                x_c, x_q = decoder_rounds(
+                    x_c, x_q, syn_feat, ops, w,
+                    rounds=cfg.rounds, interpret=self.interpret,
+                    compute_dtype=cfg.dtype,
+                )
 
         # --- readout -------------------------------------------------------
         qubit_logits = None
