@@ -239,6 +239,9 @@ def _report(args, results) -> int:
             rounds=args.rounds,
         )
         line["pct_sol"] = round(cost.pct_sol(best["step_time_s"]), 1)
+        # %SoL vs the ACHIEVABLE floor (slot-stage traffic term included,
+        # calibrated from the round-3 gather-representation sweep)
+        line["pct_sol_mem"] = round(cost.pct_sol_mem(best["step_time_s"]), 1)
     except Exception:
         pass
     # extra rows with the winning backend: the flagship QUALITY config
