@@ -77,7 +77,8 @@ def main() -> int:
         if os.path.exists(os.path.join(ROOT, extra)):
             out.append(f"Also: `{extra}` ({title}).\n")
 
-    tp = _jsonl("runs/decoder_throughput.json")
+    tp = _jsonl("runs/decoder_throughput_r3.json") \
+        or _jsonl("runs/decoder_throughput.json")
     if tp:
         out.append("## Decoder throughput comparison\n")
         out.append("| decoder | shots/s | batch |\n|---|---|---|\n")
@@ -87,7 +88,22 @@ def main() -> int:
                            f"{r['batch']} |\n")
         out.append("\n")
 
-    sl = _jsonl("runs/serve_latency_d11.json")
+    ici = _jsonl("runs/ici_projection.json")
+    if ici:
+        out.append("## Multi-chip scaling projection (docs/SCALING.md)\n")
+        rows_i = ici[-1].get("rows", [])
+        out.append("| d | mesh (data,graph) | compute ms | ICI ms (1 link) "
+                   "| eff. overlap 1link | 2link |\n|---|---|---|---|---|---|\n")
+        for r in rows_i:
+            out.append(f"| {r['d']} | {tuple(r['mesh'])} | {r['compute_ms']} "
+                       f"| {r['ici_ms_1link']} | {r['eff_overlap_1link']} | "
+                       f"{r['eff_overlap_2link']} |\n")
+        dp = ici[-1].get("dataparallel_hlo", {})
+        out.append(f"\nData-parallel decode scheduled-HLO collective count: "
+                   f"{dp}\n\n")
+
+    sl = _jsonl("runs/serve_latency_r3.json") \
+        or _jsonl("runs/serve_latency_d11.json")
     if sl:
         out.append("## Serving latency (d=11)\n")
         out.append("| batch | latency ms | pipelined ms | shots/s |\n"
@@ -108,25 +124,47 @@ def main() -> int:
                            f"{r['medges_per_s']} |\n")
         out.append("\n")
 
-    pa2 = _jsonl("runs/probe_ablate_r2.json")
-    if pa2:
-        out.append("## Kernel ablation attribution (d=11, round 2)\n")
-        out.append("| variant | step ms | M edges/s |\n|---|---|---|\n")
-        for r in pa2:
-            if "step_ms" in r:
-                out.append(f"| {r['variant']} | {r['step_ms']} | "
-                           f"{r['medges_per_s']} |\n")
-        out.append("\n")
+    for path, title in (("runs/probe_ablate_r3.json",
+                         "Kernel ablation attribution (d=11, round 3, "
+                         "idle-host)"),
+                        ("runs/probe_ablate_r2.json",
+                         "Kernel ablation attribution (d=11, round 2)")):
+        pa2 = _jsonl(path)
+        if pa2:
+            out.append(f"## {title}\n")
+            out.append("| variant | step ms | M edges/s |\n|---|---|---|\n")
+            for r in pa2:
+                if "step_ms" in r:
+                    out.append(f"| {r['variant']} | {r['step_ms']} | "
+                               f"{r['medges_per_s']} |\n")
+            out.append("\n")
+
+    roll = _jsonl("runs/probe_roll_r3.json") + _jsonl("runs/probe_roll16_r3.json")
+    if roll:
+        out.append("## Gather-representation sweep (roll-gather kernel, "
+                   "round 3)\n")
+        out.append("One-hot GEMM vs cyclic-roll slot gathers "
+                   "(kernels/roll_gather.py; PERF_NOTES round 3 for the "
+                   "floor analysis):\n")
+        out.append("```json\n" + "\n".join(json.dumps(r) for r in roll)
+                   + "\n```\n")
 
     pt = _jsonl("runs/probe_train_step.json")
     if pt:
         out.append("## Training-step backends (d=11)\n")
         out.append("```json\n" + "\n".join(json.dumps(r) for r in pt) + "\n```\n")
-    for path, title in (("runs/probe_train_r14.json",
-                         "Training-step probe, R=14 kernel backward"),
-                        ("runs/probe_train_r8_r2e.json",
-                         "Training-step probe, R=8 kernel backward "
-                         "(vs 142.97 ms round-1 row)")):
+    for path, title in (("runs/probe_train_r8_r3.json",
+                         "Training step, R=8 kernel backward (idle-host, "
+                         "old TB=8 tile)"),
+                        ("runs/probe_train_r8_tb16.json",
+                         "Training step, R=8 kernel backward (TB=16 @ "
+                         "112 MB — production default)"),
+                        ("runs/probe_train_r14_r3.json",
+                         "Training step, R=14 kernel backward (idle-host, "
+                         "old TB=4 tile)"),
+                        ("runs/probe_train_r14_tb8.json",
+                         "Training step, R=14 kernel backward (TB=8 @ "
+                         "112 MB — production default, 1.77x)")):
         pr = _jsonl(path)
         if pr:
             out.append(f"## {title}\n")
