@@ -37,6 +37,12 @@ def main() -> int:
     ap.add_argument("--eval-ps", type=float, nargs="+",
                     default=[0.003, 0.005, 0.008])
     ap.add_argument("--eval-shots", type=int, default=65536)
+    ap.add_argument("--no-remat", dest="remat", action="store_false",
+                    help="disable per-round activation remat (default ON: "
+                         "detector graphs at dt>=5 x batch 4096 OOM 16G "
+                         "HBM without it — the r2f circuit z 5:5 stage "
+                         "died exactly there)")
+    ap.set_defaults(remat=True)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -71,6 +77,7 @@ def main() -> int:
             model=ModelConfig(
                 hidden=args.hidden, msg_hidden=args.hidden,
                 rounds=args.rounds, backend="fused", readout="both",
+                remat=args.remat,
             ),
             train=TrainConfig(
                 batch=args.batch, steps=args.steps, lr=1e-3,

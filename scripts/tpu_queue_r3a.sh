@@ -62,6 +62,16 @@ echo "== serve latency $(date) ==" | tee -a "$LOG"
 run_job python benchmarks/serve_latency.py \
   > runs/serve_latency_r3.json 2> runs/serve_latency_r3.err || true
 
+echo "== circuit z d=5:5 retrain (remat — the r2f stage OOMed 16G HBM) $(date) ==" | tee -a "$LOG"
+run_job python benchmarks/train_quality_circuit.py --specs 5:5 --steps 4000 \
+  --batch 4096 >> runs/train_quality_circuit.log 2>&1
+
+echo "== circuit d=5 detector LER rows (resumable rows cache) $(date) ==" | tee -a "$LOG"
+run_job python benchmarks/ler_table.py \
+  --runs runs/circuit_surface_d5_t5:surface:5:96:8:bits:5:circuit \
+  --ps 0.01 0.02 0.03 --shots 200000 --no-bp \
+  --out benchmarks/LER_DETECTOR.md > runs/ler_table_detector_d5.log 2>&1
+
 echo "== STRETCH: d=11 resume +16k steps (kernel bwd, TB=8@112MB) $(date) ==" | tee -a "$LOG"
 run_job python benchmarks/train_quality_v3.py --ds 11 --rounds 14 \
   --steps 40000 --backend pallas --dtype bfloat16 --ema 0.999 \
