@@ -184,13 +184,20 @@ def main() -> int:
                         if jax.default_backend() == "tpu" else model.apply)
             sj = jnp.asarray(syn_p)
             gnn_cleanup_corrections(apply_fn, restored.params, graph, sj, uf)
-            ts = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                for _ in range(5):
-                    out = gnn_cleanup_corrections(
-                        apply_fn, restored.params, graph, sj, uf)
-                ts.append((time.perf_counter() - t0) / 5)
+            from contextlib import nullcontext
+
+            from tpugnn.utils.hostidle import paused_queue_jobs
+
+            pause = (paused_queue_jobs if jax.default_backend() == "tpu"
+                     else lambda: nullcontext([]))
+            with pause():
+                ts = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    for _ in range(5):
+                        out = gnn_cleanup_corrections(
+                            apply_fn, restored.params, graph, sj, uf)
+                    ts.append((time.perf_counter() - t0) / 5)
             t = statistics.median(ts)
             rows.append({
                 "decoder": f"gnn_uf_hybrid_{jax.default_backend()}",
@@ -214,12 +221,13 @@ def main() -> int:
                           file=sys.stderr)
                     break
                 eng.decode(syn_p)  # warm (cleanup decoders, matcher caches)
-                ts = []
-                for _ in range(3):
-                    t0 = time.perf_counter()
+                with pause():
+                    ts = []
                     for _ in range(3):
-                        eng.decode(syn_p)
-                    ts.append((time.perf_counter() - t0) / 3)
+                        t0 = time.perf_counter()
+                        for _ in range(3):
+                            eng.decode(syn_p)
+                        ts.append((time.perf_counter() - t0) / 3)
                 t = statistics.median(ts)
                 rows.append({
                     "decoder": ("gnn_best_of_lazy_e2e_" if lazy else

@@ -122,7 +122,9 @@ def _fwd_fn(apply_fn: Callable, tau: float | None):
         out = apply_fn(params, graph, syn)
         ex_g, ez_g = _gated_corrections(out.qubit_logits, tau)
         s_res = jnp.mod(syn + syn_of(graph, ex_g, ez_g), 2.0)
-        return ex_g, ez_g, s_res
+        # uint8 off-device: all 0/1 bits, 4x smaller transfer
+        u8 = lambda x: x.astype(jnp.uint8)
+        return u8(ex_g), u8(ez_g), u8(s_res)
 
     return fwd
 

@@ -114,11 +114,17 @@ class DecodeEngine:
             else:
                 raise ValueError(f"unknown cleanup decoder {cleanup!r}")
 
+        # outputs leave the device as uint8: every emitted value is a 0/1
+        # bit, and the cast cuts the device->host transfer 4x (the same
+        # lesson ler_all_columns applied to the eval path — on a
+        # tunnel-attached chip the f32 transfer dominated serving
+        # throughput, runs/decoder_throughput_r3.json)
+        u8 = lambda x: x.astype(jnp.uint8)
         if cleanup is None:
             def _decode(params, syndrome):
                 out = apply_fn(params, graph_, syndrome)
                 ex, ez = decode_corrections(out.qubit_logits)
-                return jnp.stack([ex, ez], axis=-1)
+                return u8(jnp.stack([ex, ez], axis=-1))
         elif self._best_of:
             from tpugnn.eval.hybrid import (
                 _gated_corrections,
@@ -134,10 +140,10 @@ class DecodeEngine:
                     graph_, syndrome, out.logical_logits)
                     if out.logical_logits is not None else (ex, ez))
                 s2 = jnp.stack([s_res, jnp.zeros_like(s_res)], axis=-1)
-                return jnp.concatenate(
+                return u8(jnp.concatenate(
                     [jnp.stack([ex, ez], axis=-1), s2,
                      jnp.stack([lex, lez], axis=-1)], axis=1
-                )  # [B, n_pad + m_pad + n_pad, 2]
+                ))  # [B, n_pad + m_pad + n_pad, 2]
         else:
             from tpugnn.eval.hybrid import _gated_corrections
             from tpugnn.sampling.noise import syndrome as _syn_of
@@ -147,9 +153,9 @@ class DecodeEngine:
                 ex, ez = _gated_corrections(out.qubit_logits, cleanup_tau)
                 s_res = jnp.mod(syndrome + _syn_of(graph_, ex, ez), 2.0)
                 s2 = jnp.stack([s_res, jnp.zeros_like(s_res)], axis=-1)
-                return jnp.concatenate(
+                return u8(jnp.concatenate(
                     [jnp.stack([ex, ez], axis=-1), s2], axis=1
-                )  # [B, n_pad + m_pad, 2]
+                ))  # [B, n_pad + m_pad, 2]
 
         if data_parallel and data_parallel > 1:
             # data-parallel serving: the request batch shards over a 1-D
