@@ -62,7 +62,8 @@ def lazy_decode(dec, syn: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return ex, ez
 
 
-def min_weight_select(cand_names, cands, syn, hz, hx):
+def min_weight_select(cand_names, cands, syn, hz, hx, *,
+                      qubit_inconsistent: np.ndarray | None = None):
     """Per-shot minimum-weight selection over candidate corrections.
 
     ``cands`` maps name -> (ex, ez) uint8 [B, n]; ``syn`` is the observed
@@ -75,15 +76,29 @@ def min_weight_select(cand_names, cands, syn, hz, hx):
     it anything.  The weight is the Y-aware depolarizing
     |support(ex OR ez)| (X, Y, Z equiprobable single events, so a Y costs
     ONE unit).  Returns (ex_hat, ez_hat, choice[B]).
+
+    ``qubit_inconsistent`` (bool [B]): precomputed consistency gate for
+    the "qubit" candidate (s_res nonzero) — skips the parity matmuls the
+    gate otherwise needs.  Matmuls run in f32 (BLAS; exact — sums are
+    bounded by n << 2^24; numpy's integer matmul has no BLAS path and
+    dominated serving throughput).
     """
     bsz = next(iter(cands.values()))[0].shape[0]
     weights = np.full((len(cand_names), bsz), np.inf)
+    hz_f = hx_f = None
     for i, name in enumerate(cand_names):
         cex, cez = cands[name]
         w = (cex | cez).sum(axis=1).astype(np.float64)
         if name in ("qubit", "logical"):
-            s_hat = ((cex @ hz.T) + (cez @ hx.T)) % 2
-            sm = (s_hat != syn[:, : hz.shape[0]]).any(axis=1)
+            if name == "qubit" and qubit_inconsistent is not None:
+                sm = qubit_inconsistent
+            else:
+                if hz_f is None:
+                    hz_f = hz.astype(np.float32).T
+                    hx_f = hx.astype(np.float32).T
+                s_hat = (cex.astype(np.float32) @ hz_f
+                         + cez.astype(np.float32) @ hx_f) % 2
+                sm = (s_hat != syn[:, : hz.shape[0]]).any(axis=1)
             w = np.where(sm, np.inf, w)
         weights[i] = w
     choice = np.argmin(weights, axis=0)
@@ -335,11 +350,16 @@ def ler_all_columns(
     lx = np.asarray(graph.logicals_x)[:, :n].astype(np.uint8)
     lz = np.asarray(graph.logicals_z)[:, :n].astype(np.uint8)
 
+    # f32 BLAS parity matmuls (exact: sums bounded by n << 2^24; numpy's
+    # integer matmul has no BLAS path and dominated the MC wall time)
+    hzT, hxT = hz.astype(np.float32).T, hx.astype(np.float32).T
+    lzT, lxT = lz.astype(np.float32).T, lx.astype(np.float32).T
+
     def fail_of(cex, cez, ex, ez):
-        rx = (ex[:, :n] ^ cex) & 1
-        rz = (ez[:, :n] ^ cez) & 1
-        sm = ((rx @ hz.T) % 2).any(axis=1) | ((rz @ hx.T) % 2).any(axis=1)
-        lf = ((rx @ lz.T) % 2).any(axis=1) | ((rz @ lx.T) % 2).any(axis=1)
+        rx = ((ex[:, :n] ^ cex) & 1).astype(np.float32)
+        rz = ((ez[:, :n] ^ cez) & 1).astype(np.float32)
+        sm = ((rx @ hzT) % 2).any(axis=1) | ((rz @ hxT) % 2).any(axis=1)
+        lf = ((rx @ lzT) % 2).any(axis=1) | ((rz @ lxT) % 2).any(axis=1)
         return sm | lf
 
     fwd = _unified_fn(apply_fn, tau, batch)
@@ -383,7 +403,8 @@ def ler_all_columns(
 
         if best_of:
             ex_hat, ez_hat, choice = min_weight_select(
-                cand_names, cands, syn, hz, hx)
+                cand_names, cands, syn, hz, hx,
+                qubit_inconsistent=s_res.any(axis=1))
             for i in range(len(cand_names)):
                 picked[i] += int((choice == i).sum())
             counters["best_of"] += int(fail_of(ex_hat, ez_hat, ex, ez).sum())
@@ -503,11 +524,14 @@ def ler_best_of(
                 raise ValueError(f"unknown candidate {name!r}")
         bsz = exg.shape[0]
         ex_hat, ez_hat, choice = min_weight_select(
-            candidates, cands, s_np, hzb, hxb)
+            candidates, cands, s_np, hzb, hxb,
+            qubit_inconsistent=s_res_np.any(axis=1))
         for i in range(len(candidates)):
             picked[i] += int((choice == i).sum())
-        rx = (np.asarray(ex)[:, :n].astype(np.uint8) ^ ex_hat) & 1
-        rz = (np.asarray(ez)[:, :n].astype(np.uint8) ^ ez_hat) & 1
+        rx = ((np.asarray(ex)[:, :n].astype(np.uint8) ^ ex_hat) & 1
+              ).astype(np.float32)
+        rz = ((np.asarray(ez)[:, :n].astype(np.uint8) ^ ez_hat) & 1
+              ).astype(np.float32)
         lf = ((rx @ lz.T) % 2).any(axis=1) | ((rz @ lx.T) % 2).any(axis=1)
         sm = (((rx @ hz.T) % 2).any(axis=1) | ((rz @ hx.T) % 2).any(axis=1))
         fails += int(np.sum(lf | sm))

@@ -213,14 +213,19 @@ class DecodeEngine:
             s = np.pad(s, ((0, 0), (0, m_pad - m)))
         elif m > m_pad:
             raise ValueError(f"syndrome width {m} exceeds graph checks {m_pad}")
-        outs = []
+        # pipelined dispatch: enqueue EVERY chunk's device program first
+        # (JAX dispatch is async), then sync them in order — the device
+        # computes chunk i+1 while the host transfers/post-processes
+        # chunk i, so multi-chunk requests overlap device and host work
+        pending = []
         for lo in range(0, b, self.max_batch):
             chunk = s[lo : lo + self.max_batch]
             nb = chunk.shape[0]
             if nb < self.max_batch:
                 chunk = np.pad(chunk, ((0, self.max_batch - nb), (0, 0)))
-            out = np.asarray(self._decode(self.params, jnp.asarray(chunk)))
-            outs.append(out[:nb])
+            pending.append((nb, self._decode(self.params,
+                                             jnp.asarray(chunk))))
+        outs = [np.asarray(out)[:nb] for nb, out in pending]
         full = np.concatenate(outs, axis=0).astype(np.uint8)
         n_pad = self.graph.n_qubits_pad
         n = self.graph.n_qubits
@@ -255,7 +260,8 @@ class DecodeEngine:
             }
             ex_hat, ez_hat, _ = min_weight_select(
                 tuple(cands), cands, s[:b].astype(np.uint8),
-                self._hz, self._hx)
+                self._hz, self._hx,
+                qubit_inconsistent=s_res.any(axis=1))
             return np.stack([ex_hat, ez_hat], axis=-1).astype(np.uint8)
         if self._cleanup_dec is None:
             return full[:, :n, :]
