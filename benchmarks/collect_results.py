@@ -77,7 +77,8 @@ def main() -> int:
         if os.path.exists(os.path.join(ROOT, extra)):
             out.append(f"Also: `{extra}` ({title}).\n")
 
-    tp = _jsonl("runs/decoder_throughput_r3.json") \
+    tp = _jsonl("runs/decoder_throughput_r3c.json") \
+        or _jsonl("runs/decoder_throughput_r3.json") \
         or _jsonl("runs/decoder_throughput.json")
     if tp:
         out.append("## Decoder throughput comparison\n")
