@@ -24,6 +24,9 @@ pure classical baselines in :mod:`tpugnn.eval.baseline`.
 
 from __future__ import annotations
 
+import contextlib
+import json
+import os
 from functools import lru_cache
 from typing import Callable
 
@@ -296,6 +299,29 @@ def _unified_fn(apply_fn: Callable, tau: float | None, batch: int):
     return f
 
 
+def _columns_result(sums, counters, picked, cand_names, total, *,
+                    best_of, with_mwpm, with_uf_raw, with_mwpm_raw) -> dict:
+    """Assemble the ler_all_columns output dict from accumulated counters."""
+    sums = {k2: float(v) for k2, v in sums.items()}
+    ler = sums.get("fail_qubit", 0.0) / total
+    out = {
+        "ler": ler,
+        "ler_stderr": (max(ler * (1 - ler), 1e-12) / total) ** 0.5,
+        "shots": float(total),
+        "gnn_uf": counters["gnn_uf"] / total,
+        "gnn_mwpm": (counters["gnn_mwpm"] / total) if with_mwpm else None,
+        "gnn_best_of": (counters["best_of"] / total) if best_of else None,
+        "picked": ({c: int(picked[i]) for i, c in enumerate(cand_names)}
+                   if best_of else None),
+        "uf": (counters["uf"] / total) if with_uf_raw else None,
+        "mwpm": (counters["mwpm"] / total) if with_mwpm_raw else None,
+    }
+    if "fail_logical" in sums:
+        out["ler_logical"] = sums["fail_logical"] / total
+        out["ler_hybrid"] = sums["fail_hybrid"] / total
+    return out
+
+
 def ler_all_columns(
     apply_fn: Callable,
     params,
@@ -311,6 +337,9 @@ def ler_all_columns(
     with_uf_raw: bool = False,
     with_mwpm_raw: bool | None = None,
     force_python: bool = False,
+    progress_path: str | None = None,
+    flush_every: int = 25,
+    on_progress: Callable[[dict], None] | None = None,
 ) -> dict:
     """Every GNN-side LER column from ONE Monte-Carlo pass.
 
@@ -327,6 +356,16 @@ def ler_all_columns(
     baselines computed inline on the same shots (``with_uf_raw`` /
     ``with_mwpm_raw``; raw MWPM is on by default whenever ``best_of`` and
     ``with_mwpm`` are, since the best-of candidate set needs it anyway).
+
+    **Resumable** [VERDICT r3 missing-3]: with ``progress_path`` set, the
+    accumulated counters + the exact chunk RNG key are checkpointed to a
+    JSON file every ``flush_every`` chunks (atomic rename), and a rerun
+    with the same configuration resumes the key stream where it stopped —
+    the completed result is bit-identical to an uninterrupted run, and a
+    killed run loses at most ``flush_every`` chunks instead of everything
+    (the r3a 100M-shot stage burned 2h for zero output).  ``on_progress``
+    (called at each flush with the partial result dict) lets the caller
+    land partial rows.
     """
     from tpugnn.baselines.union_find import UnionFindDecoder
 
@@ -370,7 +409,45 @@ def ler_all_columns(
         cand_names += ["gnn_mwpm", "mwpm"] if with_mwpm_raw else ["gnn_mwpm"]
     picked = np.zeros(len(cand_names), np.int64)
     total = 0
-    for _ in range(max(1, (shots + batch - 1) // batch)):
+
+    # resume accumulated counters + the exact chunk key from a prior
+    # interrupted run of the SAME configuration (batch/p/tau/columns)
+    fingerprint = {"batch": batch, "p": p, "tau": tau,
+                   "cand_names": list(cand_names), "best_of": best_of,
+                   "with_uf_raw": with_uf_raw, "with_mwpm_raw": with_mwpm_raw}
+    if progress_path and os.path.exists(progress_path):
+        try:
+            with open(progress_path) as f:
+                st = json.load(f)
+            if st.get("fingerprint") == fingerprint and st.get("total", 0) > 0:
+                total = int(st["total"])
+                counters = {k2: int(v) for k2, v in st["counters"].items()}
+                sums = {k2: float(v) for k2, v in st["sums"].items()}
+                picked = np.asarray(st["picked"], np.int64)
+                key = jnp.asarray(st["key"], jnp.uint32)
+        except (ValueError, KeyError, OSError):
+            pass  # corrupt/foreign progress file: start clean
+
+    def _flush():
+        if not progress_path:
+            return
+        st = {"fingerprint": fingerprint, "total": total,
+              "counters": counters,
+              "sums": {k2: float(v) for k2, v in sums.items()},
+              "picked": [int(x) for x in picked],
+              "key": [int(x) for x in np.asarray(key)]}
+        tmp = progress_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(st, f)
+        os.replace(tmp, progress_path)
+        if on_progress is not None:
+            on_progress(_columns_result(
+                sums, counters, picked, cand_names, total, best_of=best_of,
+                with_mwpm=with_mwpm, with_uf_raw=with_uf_raw,
+                with_mwpm_raw=with_mwpm_raw))
+
+    chunk_i = 0
+    while total < max(shots, 1):
         key, sub = jax.random.split(key)
         s, ex, ez, syn, ex_g, ez_g, s_res, lex, lez = fwd(params, graph, sub, p)
         for k2, v in s.items():
@@ -409,24 +486,20 @@ def ler_all_columns(
                 picked[i] += int((choice == i).sum())
             counters["best_of"] += int(fail_of(ex_hat, ez_hat, ex, ez).sum())
         total += bsz
+        chunk_i += 1
+        if progress_path and chunk_i % max(1, flush_every) == 0:
+            _flush()
 
-    sums = {k2: float(v) for k2, v in sums.items()}
-    ler = sums.get("fail_qubit", 0.0) / total
-    out = {
-        "ler": ler,
-        "ler_stderr": (max(ler * (1 - ler), 1e-12) / total) ** 0.5,
-        "shots": float(total),
-        "gnn_uf": counters["gnn_uf"] / total,
-        "gnn_mwpm": (counters["gnn_mwpm"] / total) if with_mwpm else None,
-        "gnn_best_of": (counters["best_of"] / total) if best_of else None,
-        "picked": ({c: int(picked[i]) for i, c in enumerate(cand_names)}
-                   if best_of else None),
-        "uf": (counters["uf"] / total) if with_uf_raw else None,
-        "mwpm": (counters["mwpm"] / total) if with_mwpm_raw else None,
-    }
-    if "fail_logical" in sums:
-        out["ler_logical"] = sums["fail_logical"] / total
-        out["ler_hybrid"] = sums["fail_hybrid"] / total
+    out = _columns_result(sums, counters, picked, cand_names, total,
+                          best_of=best_of, with_mwpm=with_mwpm,
+                          with_uf_raw=with_uf_raw, with_mwpm_raw=with_mwpm_raw)
+    if progress_path:
+        # the completed result lands in the caller's rows cache; a stale
+        # progress file must not resume INTO a different future request
+        with contextlib.suppress(OSError):
+            os.remove(progress_path)
+        with contextlib.suppress(OSError):
+            os.remove(progress_path + ".tmp")
     return out
 
 
