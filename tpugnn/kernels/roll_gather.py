@@ -314,12 +314,6 @@ def decoder_rounds_roll(
     tb = fd.pick_block_batch(l_pad * 2, mh, cdt.itemsize, b, block_batch)
     nblk = b // tb
 
-    # raster permute (one XLA take per step) + tile
-    def to_raster_tiles(x, cells, rows):
-        xr = jnp.take(x, cells, axis=1)            # [B, L, F] zero pad rows?
-        return (xr.reshape(nblk, tb, rows, x.shape[-1])
-                .transpose(0, 2, 1, 3).astype(cdt))
-
     # scatter original rows into raster cells: build inverse gather — for
     # each raster cell, the original row living there (or a padded row)
     inv_c = jnp.zeros((l_pad,), jnp.int32).at[cell_c].set(
