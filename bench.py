@@ -92,7 +92,8 @@ def bench_backend(backend: str, *, d: int, batch: int, rounds: int, hidden: int,
         # same process compile against the hardware-validated default
         # [ADVICE r2 item 4].
         schedule = (("sumrelu", "fold", "biggather")
-                    if backend.startswith("pallas_bg") else None)
+                    if backend.startswith("pallas_bg")
+                    or backend == "pallas_scan" else None)
         if backend == "pallas_roll":
             # raster roll-gather kernel: slot gathers as cyclic shifts
             # (kernels/roll_gather.py) — no one-hot GEMMs
@@ -107,7 +108,7 @@ def bench_backend(backend: str, *, d: int, batch: int, rounds: int, hidden: int,
             tile = 64
             vmem_saved = fd._VMEM_LIMIT
             fd._VMEM_LIMIT = max(fd._VMEM_LIMIT, 112 * 1024 * 1024)
-        elif backend == "pallas_bg_tb32":
+        elif backend in ("pallas_bg_tb32", "pallas_scan"):
             # biggather at the TB=32 tile (PallasDecoder caps auto-picked
             # biggather tiles at 16): combines the tall-gather-GEMM and
             # larger-panel levers; the extra [D*rows, TB, MH] f32 live
@@ -124,6 +125,43 @@ def bench_backend(backend: str, *, d: int, batch: int, rounds: int, hidden: int,
     def decode(params, syndrome):
         out = apply_fn(params, graph, syndrome)
         return decode_corrections(out.qubit_logits)
+
+    if backend == "pallas_scan":
+        # K decode steps inside ONE jit program (lax.scan over preloaded
+        # syndrome chunks): zero per-step dispatch, so the wall clock
+        # measures pure device throughput — the steady state a
+        # direct-attached production loop sees.  The xprof device plane
+        # already showed the kernel at 28.24 ms/step while the chained
+        # dispatch wall read 32.3 ms (~4 ms/step tunnel RPC that no amount
+        # of host-side chaining hides) [VERDICT r3 next-8; PERF_NOTES
+        # "Trace-backed floor evidence"].
+        K = 10
+        bk = sample_batch(key, graph, 0.05, batch * K)
+        syns = bk.syndrome.reshape(K, batch, -1)
+
+        @jax.jit
+        def decode_k(params, syns):
+            def body(c, s):
+                out = apply_fn(params, graph, s)
+                return c, decode_corrections(out.qubit_logits)
+
+            _, outs = jax.lax.scan(body, 0, syns)
+            return outs
+
+        try:
+            t = _time_fn(decode_k, params, syns, iters=iters, chain=1) / K
+        finally:
+            if vmem_saved is not None:
+                fd._VMEM_LIMIT = vmem_saved
+        edges = batch * graph.n_edges * rounds
+        return {
+            "backend": backend,
+            "step_time_s": t,
+            "edges_per_s": edges / t,
+            "n_edges": graph.n_edges,
+            "m_pad": graph.n_checks_pad,
+            "n_pad": graph.n_qubits_pad,
+        }
 
     try:
         t = _time_fn(decode, params, b.syndrome, iters=iters)
@@ -174,8 +212,8 @@ def main() -> int:
     # candidate), the best XLA path, and the reference-style baseline;
     # --all-backends adds the rest (each backend costs a multi-minute
     # remote compile through the axon tunnel)
-    candidates = ["pallas", "pallas_bg", "pallas_bg_tb32", "pallas_tb64",
-                  "pallas_roll", "dense", "segment"]
+    candidates = ["pallas", "pallas_bg", "pallas_bg_tb32", "pallas_scan",
+                  "pallas_tb64", "pallas_roll", "dense", "segment"]
     if args.all_backends:
         candidates[3:3] = ["fused", "ell"]
 
