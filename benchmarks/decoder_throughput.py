@@ -237,6 +237,30 @@ def main() -> int:
                     "batch": args.batch, "ckpt": args.hybrid_ckpt,
                     "p": args.p,
                 })
+                if lazy:
+                    # sustained stream: ONE multi-chunk request drives the
+                    # engine's bounded-window pipeline (device computes
+                    # chunk i+1..i+3 while the host post-processes chunk
+                    # i) — the steady state a deployed decoder sees;
+                    # single-chunk calls above serialize device and host
+                    # per call [VERDICT r3 next-7]
+                    k = 16
+                    sk = np.concatenate([np.asarray(syn_p)] * k, axis=0)
+                    eng.decode(sk[: 2 * args.batch])  # warm the window
+                    with pause():
+                        ts = []
+                        for _ in range(3):
+                            t0 = time.perf_counter()
+                            eng.decode(sk)
+                            ts.append(time.perf_counter() - t0)
+                    t = statistics.median(ts)
+                    rows.append({
+                        "decoder": "gnn_best_of_lazy_stream_"
+                                   + jax.default_backend(),
+                        "shots_per_s": round(k * args.batch / t, 1),
+                        "batch": args.batch, "chunks": k,
+                        "ckpt": args.hybrid_ckpt, "p": args.p,
+                    })
 
     for r in rows:
         print(json.dumps(r), flush=True)
