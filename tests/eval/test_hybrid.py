@@ -191,3 +191,41 @@ def test_mwpm_raw_requires_mwpm(setup):
                         key=jax.random.PRNGKey(19),
                         with_mwpm=False, with_mwpm_raw=True)
     assert u["mwpm"] is None
+
+
+def test_min_weight_select_nll_overrides_weight():
+    """Posterior-likelihood selection picks the candidate the model believes,
+    even when it has LARGER support weight (the circuit-level misranking the
+    weight rule suffered — round 4)."""
+    import numpy as np
+
+    from tpugnn.eval.hybrid import NLP_SCALE, min_weight_select
+
+    B, n, m = 1, 4, 2
+    # candidate A: single flip on qubit 0 (weight 1)
+    # candidate B: flips on qubits 1 and 2 (weight 2)
+    cands = {
+        "gnn_uf": (np.array([[1, 0, 0, 0]], np.uint8),
+                   np.zeros((B, n), np.uint8)),
+        "mwpm": (np.array([[0, 1, 1, 0]], np.uint8),
+                 np.zeros((B, n), np.uint8)),
+    }
+    syn = np.zeros((B, m), np.uint8)
+    hz = np.zeros((m, n), np.uint8)
+    hx = np.zeros((m, n), np.uint8)
+
+    # weight rule: A wins (1 < 2)
+    _, _, choice = min_weight_select(("gnn_uf", "mwpm"), cands, syn, hz, hx)
+    assert choice[0] == 0
+
+    # posterior: the model is confident qubits 1,2 are X-flipped and
+    # qubit 0 is clean -> B wins under NLL despite double the weight
+    nlp = np.zeros((B, n, 4), np.uint8)
+    cheap, dear = 0, int(8 * NLP_SCALE)
+    nlp[0, 0] = [cheap, dear, dear, dear]   # q0: I likely
+    nlp[0, 1] = [dear, cheap, dear, dear]   # q1: X likely
+    nlp[0, 2] = [dear, cheap, dear, dear]   # q2: X likely
+    nlp[0, 3] = [cheap, dear, dear, dear]
+    _, _, choice = min_weight_select(("gnn_uf", "mwpm"), cands, syn, hz, hx,
+                                     nlp=nlp)
+    assert choice[0] == 1

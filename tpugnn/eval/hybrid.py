@@ -65,9 +65,13 @@ def lazy_decode(dec, syn: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return ex, ez
 
 
+NLP_SCALE = 16.0  # uint8 neg-log-prob quantization: 1/16 nat per level
+
+
 def min_weight_select(cand_names, cands, syn, hz, hx, *,
-                      qubit_inconsistent: np.ndarray | None = None):
-    """Per-shot minimum-weight selection over candidate corrections.
+                      qubit_inconsistent: np.ndarray | None = None,
+                      nlp: np.ndarray | None = None):
+    """Per-shot minimum-cost selection over candidate corrections.
 
     ``cands`` maps name -> (ex, ez) uint8 [B, n]; ``syn`` is the observed
     syndrome uint8 [B, >=n_checks].  The cleanup/matcher candidates are
@@ -76,9 +80,20 @@ def min_weight_select(cand_names, cands, syn, hz, hx, *,
     because a model without a logical head falls back to duplicating the
     (possibly inconsistent, tau-gated) qubit correction, and a real
     logical-head realization is always consistent so the gate never costs
-    it anything.  The weight is the Y-aware depolarizing
-    |support(ex OR ez)| (X, Y, Z equiprobable single events, so a Y costs
-    ONE unit).  Returns (ex_hat, ez_hat, choice[B]).
+    it anything.  Returns (ex_hat, ez_hat, choice[B]).
+
+    Two cost rules:
+
+    * default — the Y-aware depolarizing weight |support(ex OR ez)|
+      (X, Y, Z equiprobable single events, so a Y costs ONE unit);
+    * ``nlp`` given — **posterior likelihood selection**: candidate cost =
+      sum_q -log p_q(class of candidate at q) under the GNN's own
+      per-qubit posterior (``nlp`` uint8 [B, n, 4] in 1/16-nat units,
+      class = ex + 2 ez; see _nlp4).  This is approximate MAP over the
+      candidate set under the TRAINED noise model rather than a uniform
+      single-event prior — it fixes the circuit-level misranking where a
+      lighter-but-wrong GNN correction beat the heavier-but-right matcher
+      [round 4: d=5 circuit best-of lost to its own raw-MWPM candidate].
 
     ``qubit_inconsistent`` (bool [B]): precomputed consistency gate for
     the "qubit" candidate (s_res nonzero) — skips the parity matmuls the
@@ -91,7 +106,13 @@ def min_weight_select(cand_names, cands, syn, hz, hx, *,
     hz_f = hx_f = None
     for i, name in enumerate(cand_names):
         cex, cez = cands[name]
-        w = (cex | cez).sum(axis=1).astype(np.float64)
+        if nlp is not None:
+            cls = (cex + 2 * cez).astype(np.int64)  # [B, n] in {0..3}
+            w = np.take_along_axis(
+                nlp.astype(np.float32), cls[:, :, None], axis=2
+            )[:, :, 0].sum(axis=1).astype(np.float64) / NLP_SCALE
+        else:
+            w = (cex | cez).sum(axis=1).astype(np.float64)
         if name in ("qubit", "logical"):
             if name == "qubit" and qubit_inconsistent is not None:
                 sm = qubit_inconsistent
@@ -267,8 +288,32 @@ def _best_of_fwd_fn(apply_fn: Callable, tau: float | None, batch: int):
     return f
 
 
+def _nlp4(qubit_logits):
+    """Per-qubit 4-class negative log-probs, uint8-quantized (1/16 nat).
+
+    pauli4 head: -log_softmax over [I, X, Z, Y].  bits head (2 sigmoid
+    logits): the two bits are modeled independent, so
+    -log p(ex, ez) = -log p_x(ex) - log p_z(ez), expanded to the same
+    class order I, X, Z, Y (class = ex + 2 ez).
+    """
+    if qubit_logits.shape[-1] == 4:
+        nlp = -jax.nn.log_softmax(qubit_logits, axis=-1)
+    else:
+        lx = qubit_logits[..., 0]
+        lz = qubit_logits[..., 1]
+        nx1 = -jax.nn.log_sigmoid(lx)
+        nx0 = -jax.nn.log_sigmoid(-lx)
+        nz1 = -jax.nn.log_sigmoid(lz)
+        nz0 = -jax.nn.log_sigmoid(-lz)
+        nlp = jnp.stack([nx0 + nz0, nx1 + nz0, nx0 + nz1, nx1 + nz1],
+                        axis=-1)
+    q = jnp.round(nlp * NLP_SCALE)
+    return jnp.clip(q, 0.0, 255.0).astype(jnp.uint8)
+
+
 @lru_cache(maxsize=64)
-def _unified_fn(apply_fn: Callable, tau: float | None, batch: int):
+def _unified_fn(apply_fn: Callable, tau: float | None, batch: int,
+                with_nlp: bool = False):
     """Jitted sample+forward chunk emitting everything every hybrid column
     needs, once: per-shot failure sums for the pure-GNN columns plus uint8
     corrections/residuals for the host-side classical decodes (uint8 cuts
@@ -293,8 +338,9 @@ def _unified_fn(apply_fn: Callable, tau: float | None, batch: int):
         fails = count_failures(graph, b, ex, ez, out.logical_logits)
         sums = {k2: jnp.sum(v) for k2, v in fails.items()}
         u8 = lambda x: x.astype(jnp.uint8)
+        nlp = _nlp4(out.qubit_logits) if with_nlp else None
         return (sums, u8(b.ex), u8(b.ez), u8(b.syndrome), u8(ex_g), u8(ez_g),
-                u8(s_res), u8(lex), u8(lez))
+                u8(s_res), u8(lex), u8(lez), nlp)
 
     return f
 
@@ -340,8 +386,13 @@ def ler_all_columns(
     progress_path: str | None = None,
     flush_every: int = 25,
     on_progress: Callable[[dict], None] | None = None,
+    select_cost: str = "weight",
 ) -> dict:
     """Every GNN-side LER column from ONE Monte-Carlo pass.
+
+    ``select_cost='nll'`` ranks the best-of candidates by the GNN's own
+    posterior likelihood instead of support weight (see
+    min_weight_select) — approximate MAP over the candidate set.
 
     The LER table used to run four independent 1M-shot passes per point
     (plain MC, GNN+UF, GNN+MWPM, best-of), each re-sampling, re-running the
@@ -401,7 +452,10 @@ def ler_all_columns(
         lf = ((rx @ lzT) % 2).any(axis=1) | ((rz @ lxT) % 2).any(axis=1)
         return sm | lf
 
-    fwd = _unified_fn(apply_fn, tau, batch)
+    if select_cost not in ("weight", "nll"):
+        raise ValueError(f"unknown select_cost {select_cost!r}; "
+                         "have 'weight'|'nll'")
+    fwd = _unified_fn(apply_fn, tau, batch, with_nlp=select_cost == "nll")
     sums: dict = {}
     counters = {"gnn_uf": 0, "gnn_mwpm": 0, "best_of": 0, "uf": 0, "mwpm": 0}
     cand_names = ["qubit", "logical", "gnn_uf"]
@@ -414,7 +468,8 @@ def ler_all_columns(
     # interrupted run of the SAME configuration (batch/p/tau/columns)
     fingerprint = {"batch": batch, "p": p, "tau": tau,
                    "cand_names": list(cand_names), "best_of": best_of,
-                   "with_uf_raw": with_uf_raw, "with_mwpm_raw": with_mwpm_raw}
+                   "with_uf_raw": with_uf_raw, "with_mwpm_raw": with_mwpm_raw,
+                   "select_cost": select_cost}
     if progress_path and os.path.exists(progress_path):
         try:
             with open(progress_path) as f:
@@ -449,7 +504,8 @@ def ler_all_columns(
     chunk_i = 0
     while total < max(shots, 1):
         key, sub = jax.random.split(key)
-        s, ex, ez, syn, ex_g, ez_g, s_res, lex, lez = fwd(params, graph, sub, p)
+        (s, ex, ez, syn, ex_g, ez_g, s_res, lex, lez,
+         nlp_d) = fwd(params, graph, sub, p)
         for k2, v in s.items():
             sums[k2] = sums[k2] + v if k2 in sums else v
         ex, ez = np.asarray(ex), np.asarray(ez)
@@ -479,9 +535,11 @@ def ler_all_columns(
             counters["gnn_mwpm"] += int(fail_of(*cands["gnn_mwpm"], ex, ez).sum())
 
         if best_of:
+            nlp_np = (np.asarray(nlp_d)[:, :n] if nlp_d is not None
+                      else None)
             ex_hat, ez_hat, choice = min_weight_select(
                 cand_names, cands, syn, hz, hx,
-                qubit_inconsistent=s_res.any(axis=1))
+                qubit_inconsistent=s_res.any(axis=1), nlp=nlp_np)
             for i in range(len(cand_names)):
                 picked[i] += int((choice == i).sum())
             counters["best_of"] += int(fail_of(ex_hat, ez_hat, ex, ez).sum())
