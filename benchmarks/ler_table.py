@@ -39,6 +39,11 @@ def main() -> int:
     ap.add_argument("--no-best-of", action="store_true",
                     help="skip the per-shot minimum-weight best-of column "
                          "(MAP selection over GNN/cleanup/MWPM candidates)")
+    ap.add_argument("--select-cost", default="weight",
+                    choices=["weight", "nll"],
+                    help="best-of candidate ranking: support weight, or the "
+                         "GNN posterior likelihood (approximate MAP; "
+                         "eval/hybrid.min_weight_select)")
     ap.add_argument("--tau", type=float, default=None,
                     help="confidence gate for the cleanup hybrids (keep GNN "
                          "flips with posterior max-prob >= tau)")
@@ -153,6 +158,8 @@ def main() -> int:
             continue
         ident = {"ckpt": ckpt_norm, "step": latest, "hidden": hidden,
                  "rounds": rounds, "head": head, "tau": args.tau}
+        if args.select_cost != "weight":
+            ident["select_cost"] = args.select_cost
 
         def _cached_ok(r):
             return (r is not None and r.get("uf") is not None
@@ -238,7 +245,8 @@ def main() -> int:
                         with_mwpm_raw=(not args.no_mwpm
                                        and (not args.no_best_of
                                             or cmw is None)),
-                        progress_path=prog, on_progress=_on_progress)
+                        progress_path=prog, on_progress=_on_progress,
+                        select_cost=args.select_cost)
 
                 try:
                     u = _unified(apply_fn)
