@@ -48,7 +48,7 @@ run_job() {
 echo "== d=13 LER rows $(date) ==" | tee -a "$LOG"
 run_job timeout 10800 python benchmarks/ler_table.py \
   --runs runs/v3_surface_d13/ema:surface:13:128:14 \
-  --ps 0.02 0.03 0.05 --shots 1000000 --no-bp \
+  --ps 0.02 0.03 --shots 1000000 --no-bp \
   --baseline-cache benchmarks/baseline_ler.jsonl \
   > runs/ler_table_d13.log 2>&1
 python benchmarks/ler_table.py --rebuild --runs dummy 2>> "$LOG" || true
@@ -64,7 +64,12 @@ python benchmarks/ler_table.py --rebuild --runs dummy \
   --out benchmarks/LER_DETECTOR.md 2>> "$LOG" || true
 python benchmarks/check_parity.py >> "$LOG" 2>&1 || true
 
-echo "== d=13 p=0.01 row at 200k $(date) ==" | tee -a "$LOG"
+echo "== d=13 p=0.05 at 1M + p=0.01 at 200k $(date) ==" | tee -a "$LOG"
+run_job timeout 7200 python benchmarks/ler_table.py \
+  --runs runs/v3_surface_d13/ema:surface:13:128:14 \
+  --ps 0.05 --shots 1000000 --no-bp \
+  --baseline-cache benchmarks/baseline_ler.jsonl \
+  >> runs/ler_table_d13.log 2>&1
 run_job timeout 7200 python benchmarks/ler_table.py \
   --runs runs/v3_surface_d13/ema:surface:13:128:14 \
   --ps 0.01 --shots 200000 --no-bp \
