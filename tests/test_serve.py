@@ -154,3 +154,54 @@ def test_best_of_lazy_serving_consistent_and_agrees():
     we = (c_e[:, :, 0] | c_e[:, :, 1]).sum(axis=1)
     wl = (c_l[:, :, 0] | c_l[:, :, 1]).sum(axis=1)
     assert (wl >= we).all()
+
+
+def test_best_of_nll_selection_consistent(engine_setup=None):
+    """select_cost='nll' serving: posterior-likelihood best-of decodes are
+    syndrome-consistent and the nlp side tensor flows through the packed
+    wire + threaded drain."""
+    import numpy as np
+
+    import jax
+
+    from tpugnn.configs import CodeConfig, ExperimentConfig, ModelConfig
+    from tpugnn.sampling import sample_batch
+    from tpugnn.serve import DecodeEngine
+    from tpugnn.tanner import build_code
+    from tpugnn.train.loop import init_state
+
+    cfg = ExperimentConfig(
+        code=CodeConfig(family="surface", distance=3, p=0.05),
+        model=ModelConfig(hidden=16, msg_hidden=16, rounds=2))
+    g = build_code("surface", 3)
+    state, _ = init_state(cfg, g)
+    eng = DecodeEngine(cfg, state.params, g, max_batch=32,
+                       cleanup="best_of", lazy=True, select_cost="nll")
+    b = sample_batch(jax.random.PRNGKey(3), g, 0.05, 100)  # multi-chunk
+    out = eng.decode(np.asarray(b.syndrome))
+    assert out.shape == (100, g.n_qubits, 2)
+    hx = np.asarray(g.h_syn_ez)[: g.n_checks, : g.n_qubits]
+    hz = np.asarray(g.h_syn_ex)[: g.n_checks, : g.n_qubits]
+    s_hat = (out[:, :, 0] @ hz.T + out[:, :, 1] @ hx.T) % 2
+    np.testing.assert_array_equal(
+        s_hat, np.asarray(b.syndrome)[:, : g.n_checks])
+
+
+def test_select_cost_validation():
+    import pytest as _pytest
+
+    from tpugnn.configs import CodeConfig, ExperimentConfig, ModelConfig
+    from tpugnn.serve import DecodeEngine
+    from tpugnn.tanner import build_code
+    from tpugnn.train.loop import init_state
+
+    cfg = ExperimentConfig(
+        code=CodeConfig(family="surface", distance=3, p=0.05),
+        model=ModelConfig(hidden=16, msg_hidden=16, rounds=2))
+    g = build_code("surface", 3)
+    state, _ = init_state(cfg, g)
+    with _pytest.raises(ValueError, match="select_cost"):
+        DecodeEngine(cfg, state.params, g, max_batch=8, select_cost="foo")
+    with _pytest.raises(ValueError, match="best_of"):
+        DecodeEngine(cfg, state.params, g, max_batch=8, cleanup="uf",
+                     select_cost="nll")
