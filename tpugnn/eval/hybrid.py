@@ -288,14 +288,22 @@ def _best_of_fwd_fn(apply_fn: Callable, tau: float | None, batch: int):
     return f
 
 
-def _nlp4(qubit_logits):
+def _nlp4(qubit_logits, temperature: float = 1.0):
     """Per-qubit 4-class negative log-probs, uint8-quantized (1/16 nat).
 
     pauli4 head: -log_softmax over [I, X, Z, Y].  bits head (2 sigmoid
     logits): the two bits are modeled independent, so
     -log p(ex, ez) = -log p_x(ex) - log p_z(ez), expanded to the same
     class order I, X, Z, Y (class = ex + 2 ez).
+
+    ``temperature`` > 1 softens an overconfident posterior before the
+    cost is taken (standard temperature scaling; the round-5 calibration
+    lever for the residual circuit-level selection margin).  Overridable
+    globally via the TPUGNN_NLL_TEMP env var (read at trace time).
     """
+    t = float(os.environ.get("TPUGNN_NLL_TEMP", temperature))
+    if t != 1.0:
+        qubit_logits = qubit_logits / t
     if qubit_logits.shape[-1] == 4:
         nlp = -jax.nn.log_softmax(qubit_logits, axis=-1)
     else:
