@@ -42,9 +42,33 @@ def _md_points(path):
     return pts
 
 
+def _table_eval_in_flight() -> bool:
+    """True while a queue-advertised ler_table job is live: rows append to
+    the caches continuously and the md is only rebuilt at stage end, so
+    md-vs-cache staleness is expected (the stage's closing --rebuild and
+    the guard both run against the settled cache afterwards)."""
+    pidfile = os.path.join(os.path.dirname(BENCH), "runs", "tpu_active.pid")
+    try:
+        with open(pidfile) as f:
+            pids = [int(x) for x in f.read().split() if x.strip().isdigit()]
+    except OSError:
+        return False
+    for pid in pids:
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                if b"ler_table.py" in f.read():
+                    return True
+        except OSError:
+            continue
+    return False
+
+
 @pytest.mark.parametrize("md", TABLES)
 def test_md_covers_rows_cache(md):
     from ler_table import dedup_rows
+
+    if _table_eval_in_flight():
+        pytest.skip("ler_table queue job in flight; md rebuilds at stage end")
 
     md_path = os.path.join(BENCH, md)
     rows = dedup_rows(md_path + ".rows.jsonl")
